@@ -1,0 +1,339 @@
+"""Assemble rules into distributed violation plans.
+
+Physical strategy (designed for the 10^12-row table, tested at sf*):
+
+* All row rules fuse into ONE narrow projection over the scan — a single
+  ``select`` building per-rule violation arrays, flattened and exploded.
+  No shuffle; whole-stage codegen end to end; Parquet reader prunes to the
+  columns the rules actually reference.
+* Table rules each contribute a small violations DataFrame:
+  - uniqueness: groupBy(keys) with map-side partial counts (2-phase agg —
+    the realized version of the reference's dead map/reduce seam,
+    report.py:44-48);
+  - referential / completeness: ``left_anti`` joins with the small side
+    **broadcast** so the big table never shuffles;
+  - token-range: broadcast dim join + JVM-side higher-order functions
+    (transform/filter) for the first out-of-range index — no Python;
+  - array-equality: equi-join on the key then a zero-copy Arrow kernel
+    (see functions/arrays.py) — Catalyst/AQE picks sort-merge vs shuffle
+    hash for the big join;
+  - drift: bucketed histogram aggregation + PSI against a reference
+    distribution, all aggregations partial-then-final.
+* Violation outputs union by name into the canonical schema
+  ``(subject string, rule_id string, rule_seq int, reason string)``.
+
+Ordering contract: consumers sort by ``(subject, rule_seq)`` — declaration
+order within a subject, sorted across subjects (reference report.py:27-33).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..rules import model as Mdl
+from ..rules.loader import RuleSet, RuleSetError
+from .columns import compile_checker, empty_errors, render_reason
+
+VIOLATION_SCHEMA = "subject string, rule_id string, rule_seq int, reason string"
+
+# Per-row violation element carried through the fused scan.
+_ROW_ERR_TYPE = "array<struct<rule_seq:int,rule_id:string,reason:string>>"
+
+
+def _rule_errs(rule: Mdl.RuleBase, reason: Column, cond: Column | None = None) -> Column:
+    """One violation element (as a 1-element array) gated on `cond`."""
+    elem = F.struct(
+        F.lit(rule.seq).alias("rule_seq"),
+        F.lit(rule.rule_id).alias("rule_id"),
+        reason.alias("reason"),
+    )
+    arr = F.array(elem)
+    if cond is None:
+        return arr
+    return F.when(cond, arr).otherwise(F.array().cast(_ROW_ERR_TYPE))
+
+
+def _compile_row_rule(rule: Mdl.Rule, schema: T.StructType) -> Column:
+    """Compile one row rule to an array<struct<rule_seq,rule_id,reason>>."""
+    if isinstance(rule, Mdl.ColumnSpecRule):
+        if rule.column not in schema.names:
+            # Column absent from the table: every subject fails existence —
+            # the reference's missing-file reason (report.py:24-25).
+            return _rule_errs(rule, F.lit(f"`{rule.column}`: does not exist"))
+        dtype = schema[rule.column].dataType
+        checker = compile_checker(rule.spec, dtype)
+        errs = checker(F.col(rule.column), F.lit(rule.column))
+        return F.transform(
+            errs,
+            lambda e: F.struct(
+                F.lit(rule.seq).alias("rule_seq"),
+                F.lit(rule.rule_id).alias("rule_id"),
+                render_reason(e.getField("path"), e.getField("msg")).alias("reason"),
+            ),
+        )
+    if isinstance(rule, Mdl.RowSpecRule):
+        checker = compile_checker(rule.spec, schema)
+        errs = checker(F.struct(*[F.col(n) for n in schema.names]), F.lit(""))
+        return F.transform(
+            errs,
+            lambda e: F.struct(
+                F.lit(rule.seq).alias("rule_seq"),
+                F.lit(rule.rule_id).alias("rule_id"),
+                render_reason(e.getField("path"), e.getField("msg")).alias("reason"),
+            ),
+        )
+    if isinstance(rule, Mdl.ExprRule):
+        ok = F.expr(rule.assert_sql)
+        # A null reason (its SQL hit a null input) falls back to a static
+        # message; a null assertion result counts as a violation (three-
+        # valued logic must not let nulls slip through a validator).
+        reason = F.coalesce(
+            F.expr(rule.reason_sql).cast("string"),
+            F.lit(f"assertion failed: {rule.rule_id}"),
+        )
+        return _rule_errs(rule, reason, ~F.coalesce(ok, F.lit(False)))
+    if isinstance(rule, Mdl.NotEmptyRule):
+        if rule.allow_empty:
+            return F.array().cast(_ROW_ERR_TYPE)
+        col = F.col(rule.column)
+        dtype = schema[rule.column].dataType if rule.column in schema.names else None
+        if isinstance(dtype, (T.ArrayType, T.MapType)):
+            is_empty = F.size(col) == 0
+        else:
+            is_empty = F.length(col) == 0
+        reason = F.lit(f"`{rule.column}`: cannot be empty")
+        return _rule_errs(rule, reason, col.isNotNull() & is_empty)
+    raise RuleSetError(f"not a row rule: {rule}")
+
+
+class CompiledPlan:
+    """A rule set bound to a subject DataFrame and auxiliary tables."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        ruleset: RuleSet,
+        subject_col: str,
+        tables: Mapping[str, DataFrame],
+    ) -> None:
+        self.df = df
+        self.ruleset = ruleset
+        self.subject_col = subject_col
+        self.tables = dict(tables)
+        self.spark = df.sparkSession
+
+    # -- row rules: one fused scan ----------------------------------------
+
+    def row_violations(self) -> DataFrame:
+        rules = self.ruleset.row_rules
+        subject = F.coalesce(
+            F.col(self.subject_col).cast("string"), F.lit("<null>")
+        ).alias("subject")
+        if not rules:
+            return self.spark.createDataFrame([], VIOLATION_SCHEMA)
+        arrays = [_compile_row_rule(r, self.df.schema) for r in rules]
+        fused = self.df.select(
+            subject, F.flatten(F.array(*arrays)).alias("_violations")
+        )
+        exploded = fused.select("subject", F.explode("_violations").alias("v"))
+        return exploded.select(
+            "subject",
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.rule_seq").alias("rule_seq"),
+            F.col("v.reason").alias("reason"),
+        )
+
+    # -- per-row ok flags (for summaries / ok-subject extraction) ---------
+
+    def row_ok_flags(self) -> DataFrame:
+        """(subject, ok) for row rules only — single pass, no shuffle."""
+        rules = self.ruleset.row_rules
+        subject = F.col(self.subject_col).cast("string").alias("subject")
+        if not rules:
+            return self.df.select(subject, F.lit(True).alias("ok"))
+        arrays = [_compile_row_rule(r, self.df.schema) for r in rules]
+        return self.df.select(
+            subject, (F.size(F.flatten(F.array(*arrays))) == 0).alias("ok")
+        )
+
+    # -- table rules ------------------------------------------------------
+
+    def _aux(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            raise RuleSetError(f"rule references unknown table `{name}`")
+        return self.tables[name]
+
+    def _table_violations(self, rule: Mdl.Rule) -> DataFrame:
+        df = self.df
+        subject = F.col(self.subject_col).cast("string").alias("subject")
+
+        if isinstance(rule, Mdl.UniqueRule):
+            keys = [F.col(k) for k in rule.keys]
+            dupes = (
+                df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+            )
+            return dupes.select(
+                F.concat_ws("|", *[c.cast("string") for c in keys]).alias("subject"),
+                F.lit(rule.rule_id).alias("rule_id"),
+                F.lit(rule.seq).alias("rule_seq"),
+                F.lit("duplicate key").alias("reason"),
+            )
+
+        if isinstance(rule, Mdl.ReferentialRule):
+            dim = self._aux(rule.dim).select(
+                F.col(rule.dim_key).alias(rule.column)
+            ).distinct()
+            missing = df.join(F.broadcast(dim), on=rule.column, how="left_anti")
+            return missing.select(
+                subject,
+                F.lit(rule.rule_id).alias("rule_id"),
+                F.lit(rule.seq).alias("rule_seq"),
+                F.lit(f"unknown {rule.column}").alias("reason"),
+            )
+
+        if isinstance(rule, Mdl.CompletenessRule):
+            manifest = self._aux(rule.manifest).select(rule.key).distinct()
+            present = df.select(F.col(self.subject_col).alias(rule.key)).distinct()
+            # The manifest is the small side; the big side is reduced to its
+            # distinct keys first so the anti-join shuffles keys, not rows.
+            missing = manifest.join(present, on=rule.key, how="left_anti")
+            return missing.select(
+                F.col(rule.key).cast("string").alias("subject"),
+                F.lit(rule.rule_id).alias("rule_id"),
+                F.lit(rule.seq).alias("rule_seq"),
+                F.lit("does not exist").alias("reason"),
+            )
+
+        if isinstance(rule, Mdl.TokenRangeRule):
+            dim = self._aux(rule.dim).select(
+                F.col(rule.dim_key).alias(rule.group_col),
+                F.col(rule.vocab_col).alias("_vocab"),
+            )
+            joined = df.join(F.broadcast(dim), on=rule.group_col, how="inner")
+            bad_idx = F.expr(
+                f"array_min(filter(transform({rule.column}, (x, i) -> "
+                f"IF(x < 0 OR x >= _vocab, i, NULL)), v -> v IS NOT NULL))"
+            )
+            flagged = joined.select(
+                subject,
+                F.col(rule.group_col).alias("_grp"),
+                bad_idx.alias("_idx"),
+            ).filter(F.col("_idx").isNotNull())
+            return flagged.select(
+                "subject",
+                F.lit(rule.rule_id).alias("rule_id"),
+                F.lit(rule.seq).alias("rule_seq"),
+                F.format_string(
+                    "token out of range for %s at index %d",
+                    F.col("_grp"),
+                    F.col("_idx"),
+                ).alias("reason"),
+            )
+
+        if isinstance(rule, Mdl.ArrayEqualityRule):
+            from ..functions.arrays import first_mismatch_index
+
+            ref = self._aux(rule.reference).select(
+                F.col(rule.key),
+                F.col(rule.ref_column).alias("_ref_arr"),
+            )
+            joined = df.select(F.col(rule.key), F.col(rule.column)).join(
+                ref, on=rule.key, how="inner"
+            )
+            mism = first_mismatch_index(joined, rule.column, "_ref_arr", key=rule.key)
+            return mism.filter(F.col("mismatch_idx") >= 0).select(
+                F.col(rule.key).cast("string").alias("subject"),
+                F.lit(rule.rule_id).alias("rule_id"),
+                F.lit(rule.seq).alias("rule_seq"),
+                F.format_string(
+                    "token mismatch at index %d", F.col("mismatch_idx")
+                ).alias("reason"),
+            )
+
+        if isinstance(rule, Mdl.DriftRule):
+            return self._drift_violations(rule)
+
+        if isinstance(rule, Mdl.StatsThresholdRule):
+            col = F.col(rule.column)
+            stats = self.df.groupBy(rule.group_col).agg(
+                F.count(col).alias("n"),
+                F.min(col).alias("min"),
+                F.max(col).alias("max"),
+                F.avg(col).alias("avg"),
+                F.stddev_pop(col).alias("stddev"),
+                F.approx_count_distinct(col).alias("approx_distinct"),
+            )
+            bad = stats.filter(~F.coalesce(F.expr(rule.assert_sql), F.lit(False)))
+            return bad.select(
+                F.col(rule.group_col).cast("string").alias("subject"),
+                F.lit(rule.rule_id).alias("rule_id"),
+                F.lit(rule.seq).alias("rule_seq"),
+                F.lit(f"stats assertion failed: {rule.assert_sql}").alias("reason"),
+            )
+
+        raise RuleSetError(f"unknown table rule: {rule}")
+
+    def _drift_violations(self, rule: Mdl.DriftRule) -> DataFrame:
+        eps = 1e-6
+        width = (rule.hi - rule.lo) / rule.buckets
+        bucket = F.least(
+            F.lit(rule.buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(rule.column) - rule.lo) / F.lit(width)).cast("int"),
+            ),
+        )
+        hist = (
+            self.df.groupBy(F.col(rule.group_col).alias("_grp"), bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        totals = hist.groupBy("_grp").agg(F.sum("cnt").alias("total"))
+        q = hist.join(totals, "_grp").select(
+            "_grp", "bucket", (F.col("cnt") / F.col("total")).alias("q")
+        )
+        ref = self._aux(rule.ref).select(
+            F.col(rule.group_col).alias("_grp"), F.col("bucket"), F.col("p")
+        )
+        joined = q.join(ref, ["_grp", "bucket"], "full_outer").select(
+            "_grp",
+            F.coalesce(F.col("q"), F.lit(0.0)).alias("q"),
+            F.coalesce(F.col("p"), F.lit(0.0)).alias("p"),
+        )
+        qc = F.greatest(F.col("q"), F.lit(eps))
+        pc = F.greatest(F.col("p"), F.lit(eps))
+        psi = joined.groupBy("_grp").agg(
+            F.sum((qc - pc) * F.log(qc / pc)).alias("psi")
+        )
+        return psi.filter(F.col("psi") > rule.threshold).select(
+            F.col("_grp").cast("string").alias("subject"),
+            F.lit(rule.rule_id).alias("rule_id"),
+            F.lit(rule.seq).alias("rule_seq"),
+            F.format_string(
+                "distribution drift: PSI %.4f > %s",
+                F.col("psi"),
+                F.lit(_trim_float(rule.threshold)),
+            ).alias("reason"),
+        )
+
+    # -- full plan --------------------------------------------------------
+
+    def violations(self) -> DataFrame:
+        parts = [self.row_violations()]
+        parts.extend(self._table_violations(r) for r in self.ruleset.table_rules)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+def _trim_float(v: float) -> str:
+    if math.isfinite(v) and float(v).is_integer():
+        return str(int(v))
+    return str(v)

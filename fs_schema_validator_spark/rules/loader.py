@@ -1,0 +1,201 @@
+"""Two-phase YAML rule-spec loader: untyped → gate → expand → typed.
+
+Reproduces the reference's schema compilation pipeline
+(/root/reference/fs_schema_validator/__init__.py:46-69):
+
+1. ``yaml.safe_load`` → untyped dicts (``schema:`` list + ``bindings:`` map).
+2. Type the bindings: 2-int list → RangeVal, string list → EnumVal,
+   plain string → Str; caller-supplied overrides win (right-biased merge,
+   the CLI ``-b`` analog: __init__.py:56).
+3. Evaluate each rule's ``if:`` guard against the bindings; drop rules whose
+   guard is false and strip the key (constant folding before expansion:
+   __init__.py:144-155).
+4. Expand every string field (recursively through nested dicts via a
+   YAML-roundtrip, which must stay single-variant) with
+   ``leave_unbound_vars_in=True``, and take the Cartesian product across
+   fields (__init__.py:120-141). ``{{...}}`` escapes survive as literals —
+   regexes with counted quantifiers are written ``\\d{{8}}``.
+5. Parse each concrete dict into the typed rule union, assigning ``seq``
+   ordinals in declaration/expansion order (the ordering contract).
+"""
+
+from __future__ import annotations
+
+import itertools
+from io import StringIO
+from typing import Any, Iterator, Mapping
+
+import yaml
+
+from .. import evaluator
+from ..evaluator import Bindings, EnumVal, RangeVal, Str
+from . import model as Mdl
+from .spec import SpecError, parse_spec
+
+
+class RuleSetError(ValueError):
+    """Raised when a rule-spec document is invalid."""
+
+
+def type_bindings(raw: Mapping[str, Any]) -> Bindings:
+    """Type untyped binding values: [int,int]→range, [str,...]→enum, str→str."""
+    out: Bindings = {}
+    for name, v in raw.items():
+        if isinstance(v, str):
+            out[name] = Str(v)
+        elif (
+            isinstance(v, (list, tuple))
+            and len(v) == 2
+            and all(isinstance(x, int) and not isinstance(x, bool) for x in v)
+        ):
+            out[name] = RangeVal(v[0], v[1])
+        elif isinstance(v, (list, tuple, set)) and all(isinstance(x, str) for x in v):
+            out[name] = EnumVal(v)
+        else:
+            raise RuleSetError(
+                f"binding `{name}` must be a string, [int, int] range, or list of strings"
+            )
+    return out
+
+
+def _filter_by_guards(
+    rules: list[dict[str, Any]], bindings: Bindings
+) -> Iterator[dict[str, Any]]:
+    for rule in rules:
+        if "if" in rule:
+            guard = rule.pop("if")
+            if evaluator.evaluate(guard, bindings) is not True:
+                continue
+        yield rule
+
+
+def _expand_value(value: Any, bindings: Bindings) -> list[Any]:
+    """Expand one field value; non-strings roundtrip through YAML text so
+    nested specs see the same template semantics (single-variant only)."""
+    if isinstance(value, str):
+        return list(evaluator.expand(value, bindings, leave_unbound_vars_in=True))
+    if isinstance(value, (int, float, bool)) or value is None:
+        return [value]
+    text = yaml.safe_dump(value)
+    expanded = list(evaluator.expand(text, bindings, leave_unbound_vars_in=True))
+    if len(expanded) != 1:
+        raise RuleSetError(
+            "a nested rule field cannot expand to more than one variant"
+        )
+    return [yaml.safe_load(StringIO(expanded[0]))]
+
+
+def _expand_rule(rule: dict[str, Any], bindings: Bindings) -> Iterator[dict[str, Any]]:
+    pools = [
+        [(key, v) for v in _expand_value(value, bindings)]
+        for key, value in rule.items()
+    ]
+    return (dict(combo) for combo in itertools.product(*pools))
+
+
+_INT_FIELDS = {"buckets"}
+_FLOAT_FIELDS = {"lo", "hi", "threshold"}
+_BOOL_FIELDS = {"allow_empty"}
+
+
+def _coerce_expanded_scalars(kwargs: dict[str, Any]) -> dict[str, Any]:
+    """Template expansion stringifies everything; re-coerce numeric knobs."""
+    out = dict(kwargs)
+    for k, v in kwargs.items():
+        if isinstance(v, str):
+            if k in _INT_FIELDS:
+                out[k] = int(v)
+            elif k in _FLOAT_FIELDS:
+                out[k] = float(v)
+            elif k in _BOOL_FIELDS:
+                out[k] = v.lower() in ("1", "true", "yes")
+    return out
+
+
+def _build_rule(raw: Mapping[str, Any], seq: int) -> Mdl.Rule:
+    kind = raw.get("type")
+    if kind is None:
+        raise RuleSetError(f"rule #{seq} is missing required key `type`")
+    kwargs = {k: v for k, v in raw.items() if k != "type"}
+    rule_id = kwargs.pop("id", None) or f"r{seq:03d}.{kind}"
+    kwargs = _coerce_expanded_scalars(kwargs)
+
+    try:
+        if kind == "column_spec":
+            return Mdl.ColumnSpecRule(
+                rule_id, seq, column=kwargs.pop("column"), spec=parse_spec(kwargs.pop("spec")), **kwargs
+            )
+        if kind == "row_spec":
+            return Mdl.RowSpecRule(rule_id, seq, spec=parse_spec(kwargs.pop("spec")), **kwargs)
+        if kind == "expr":
+            return Mdl.ExprRule(
+                rule_id,
+                seq,
+                assert_sql=kwargs.pop("assert"),
+                reason_sql=kwargs.pop("reason", f"'assertion failed: {rule_id}'"),
+                **kwargs,
+            )
+        if kind == "not_empty":
+            return Mdl.NotEmptyRule(rule_id, seq, **kwargs)
+        if kind == "unique":
+            keys = kwargs.pop("keys")
+            if isinstance(keys, str):
+                keys = [keys]
+            return Mdl.UniqueRule(rule_id, seq, keys=tuple(keys), **kwargs)
+        if kind == "referential":
+            return Mdl.ReferentialRule(rule_id, seq, **kwargs)
+        if kind == "completeness":
+            return Mdl.CompletenessRule(rule_id, seq, **kwargs)
+        if kind == "token_range":
+            return Mdl.TokenRangeRule(rule_id, seq, **kwargs)
+        if kind == "array_equality":
+            kwargs.setdefault("ref_column", kwargs.get("column"))
+            return Mdl.ArrayEqualityRule(rule_id, seq, **kwargs)
+        if kind == "drift_psi":
+            return Mdl.DriftRule(rule_id, seq, **kwargs)
+        if kind == "stats_threshold":
+            return Mdl.StatsThresholdRule(
+                rule_id, seq, assert_sql=kwargs.pop("assert"), **kwargs
+            )
+    except (TypeError, KeyError, SpecError) as ex:
+        raise RuleSetError(f"invalid `{kind}` rule (seq {seq}): {ex}") from ex
+    raise RuleSetError(f"unknown rule type `{kind}`")
+
+
+class RuleSet:
+    """An ordered, fully-expanded list of typed rules."""
+
+    def __init__(self, rules: list[Mdl.Rule]):
+        self.rules = rules
+
+    @classmethod
+    def from_yaml(
+        cls, text: str, extra_bindings: Bindings | None = None
+    ) -> "RuleSet":
+        doc = yaml.safe_load(text)
+        if not isinstance(doc, Mapping) or "schema" not in doc:
+            raise RuleSetError("rule spec must be a mapping with a `schema` list")
+        raw_rules = doc["schema"] or []
+        bindings = {
+            **type_bindings(doc.get("bindings") or {}),
+            **(extra_bindings or {}),
+        }
+        gated = list(_filter_by_guards([dict(r) for r in raw_rules], bindings))
+        expanded = list(
+            itertools.chain.from_iterable(_expand_rule(r, bindings) for r in gated)
+        )
+        return cls([_build_rule(raw, seq) for seq, raw in enumerate(expanded)])
+
+    @property
+    def row_rules(self) -> list[Mdl.Rule]:
+        return [r for r in self.rules if isinstance(r, Mdl.ROW_RULE_TYPES)]
+
+    @property
+    def table_rules(self) -> list[Mdl.Rule]:
+        return [r for r in self.rules if not isinstance(r, Mdl.ROW_RULE_TYPES)]
+
+    def __len__(self) -> int:
+        return len(self.rules)
+
+    def __iter__(self):
+        return iter(self.rules)

@@ -1,0 +1,44 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Local-mode settings mirror what a cluster deployment sets via spark-submit:
+AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+Arrow transfer on (the token kernels depend on it), and shuffle partitions
+sized to the parallelism level instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "fs-schema-validator-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N-ish partitions; a real cluster sets this per job size.
+        n = master.removeprefix("local[").removesuffix("]")
+        shuffle_partitions = cpus if not n.isdigit() else int(n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,171 @@
+"""End-to-end engine goldens on the sequences table (FIXTURES.md §1).
+
+n=10 rows; `corrupt_sequences(every=10)` gives row i corruption mode i for
+i in 0..6, rows 7-9 pristine; row 7 is then duplicated. Every corruption
+mode maps to an exact golden violation list, byte-stable, ordered by
+(subject, rule_seq) — the engine analog of the reference's exact-golden
+violation tests (tests/test_schema.py:25-133)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fs_schema_validator_spark.engine import ValidationEngine
+from fs_schema_validator_spark.sources import synth
+
+RULES = r"""
+bindings:
+  mode: strict
+  max_len: "512"
+schema:
+  - type: column_spec
+    id: doc_id_format
+    column: doc_id
+    spec: {type: str, regex: "^doc-\\d{{8}}$"}
+  - type: column_spec
+    id: tokens_spec
+    column: tokens
+    spec: {type: array, items: {type: int, min: 0}}
+  - type: expr
+    id: ntok_consistency
+    assert: "n_tok = size(tokens)"
+    reason: "concat('n_tok mismatch: declared ', n_tok, ' got ', size(tokens))"
+    if: $mode == strict
+  - type: not_empty
+    id: tokens_not_empty
+    column: tokens
+  - type: column_spec
+    id: ntok_bounds
+    column: n_tok
+    spec: {type: int, min: 1, max: "{$max_len}"}
+  - type: unique
+    id: doc_id_unique
+    keys: [doc_id]
+  - type: referential
+    id: source_known
+    column: source
+    dim: dim_sources
+    dim_key: source
+  - type: completeness
+    id: manifest_complete
+    manifest: expected_manifest
+    key: doc_id
+  - type: token_range
+    id: tokens_in_vocab
+    column: tokens
+    group_col: source
+    dim: dim_sources
+    dim_key: source
+    vocab_col: vocab_size
+  - type: array_equality
+    id: tokens_match_reference
+    column: tokens
+    reference: reference_tokens
+    key: doc_id
+"""
+
+GOLDEN = [
+    ("DOC_5", "doc_id_format", "`doc_id`: String should match pattern '^doc-\\d{8}$'"),
+    ("doc-00000000", "tokens_not_empty", "`tokens`: cannot be empty"),
+    ("doc-00000000", "ntok_bounds", "`n_tok`: Input should be greater than or equal to 1"),
+    ("doc-00000000", "tokens_match_reference", "token mismatch at index 0"),
+    ("doc-00000001", "ntok_consistency", "n_tok mismatch: declared 3 got 2"),
+    ("doc-00000002", "tokens_spec", "`tokens.0`: Input should be greater than or equal to 0"),
+    ("doc-00000002", "tokens_in_vocab", "token out of range for code at index 0"),
+    ("doc-00000002", "tokens_match_reference", "token mismatch at index 0"),
+    ("doc-00000003", "tokens_spec", "`tokens`: Field required"),
+    ("doc-00000003", "ntok_consistency", "assertion failed: ntok_consistency"),
+    ("doc-00000003", "tokens_match_reference", "token mismatch at index 0"),
+    ("doc-00000004", "source_known", "unknown source"),
+    ("doc-00000005", "manifest_complete", "does not exist"),
+    ("doc-00000006", "tokens_match_reference", "token mismatch at index 6"),
+    ("doc-00000007", "doc_id_unique", "duplicate key"),
+    ("doc-00000010", "manifest_complete", "does not exist"),
+    ("doc-00000011", "manifest_complete", "does not exist"),
+]
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    n = 10
+    seq = synth.with_duplicates(
+        synth.corrupt_sequences(synth.gen_sequences(spark, n), every=10),
+        every=101,
+    )
+    tables = {
+        "dim_sources": synth.gen_dim_sources(spark),
+        "reference_tokens": synth.gen_reference_tokens(spark, n),
+        "expected_manifest": synth.gen_expected_manifest(spark, n, extra=2),
+    }
+    return ValidationEngine(subject_col="doc_id").validate(seq, RULES, tables)
+
+
+def test_exact_violation_goldens(result):
+    got = [
+        (r.subject, r.rule_id, r.reason)
+        for r in result.sorted_violations().collect()
+    ]
+    assert got == GOLDEN
+
+
+def test_verdict(result):
+    assert result.okay() is False
+    assert result.exit_code() == 1
+
+
+def test_ok_subjects(result):
+    ok = [r.subject for r in result.ok_subjects().collect()]
+    assert ok == ["doc-00000008", "doc-00000009"]
+
+
+def test_grouped_by_subject(result):
+    grouped = {r.subject: r.reasons for r in result.grouped_by_subject().collect()}
+    assert grouped["doc-00000002"] == [
+        "`tokens.0`: Input should be greater than or equal to 0",
+        "token out of range for code at index 0",
+        "token mismatch at index 0",
+    ]
+
+
+def test_pristine_table_passes(spark):
+    n = 16
+    seq = synth.gen_sequences(spark, n)
+    tables = {
+        "dim_sources": synth.gen_dim_sources(spark),
+        "reference_tokens": synth.gen_reference_tokens(spark, n),
+        "expected_manifest": synth.gen_expected_manifest(spark, n),
+    }
+    res = ValidationEngine(subject_col="doc_id").validate(seq, RULES, tables)
+    assert res.okay() is True
+    assert res.exit_code() == 0
+
+
+def test_drift_flags_only_shifted_source(spark):
+    from pyspark.sql import functions as F
+
+    n = 4096
+    seq = synth.gen_sequences(spark, n).withColumn(
+        "n_tok",
+        F.when(
+            F.col("source") == "code",
+            F.least(F.col("n_tok") + 128, F.lit(512)),
+        ).otherwise(F.col("n_tok")),
+    )
+    rules = """
+schema:
+  - type: drift_psi
+    id: ntok_drift
+    column: n_tok
+    group_col: source
+    ref: ref_distribution
+    buckets: 16
+    lo: 0
+    hi: 512
+    threshold: 0.2
+"""
+    res = ValidationEngine(subject_col="doc_id").validate(
+        seq, rules, {"ref_distribution": synth.gen_ref_distribution(spark)}
+    )
+    rows = res.violations.collect()
+    assert [r.subject for r in rows] == ["code"]
+    assert rows[0].reason.startswith("distribution drift: PSI ")
