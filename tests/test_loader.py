@@ -1,0 +1,150 @@
+"""Rule-set loading semantics: bindings, guards, expansion, overrides.
+
+Pins the same compilation contract as the reference's schema tests
+(/root/reference/tests/test_schema.py): `if:` gating both ways, Cartesian
+expansion across fields, format-spec expansion, binding overrides winning,
+and the escape hatch for literal braces."""
+
+from __future__ import annotations
+
+import pytest
+
+from fs_schema_validator_spark.evaluator import EnumVal, Str, UnboundSymbolError
+from fs_schema_validator_spark.rules.loader import RuleSet, RuleSetError
+from fs_schema_validator_spark.rules.model import ColumnSpecRule, NotEmptyRule
+from fs_schema_validator_spark.rules import spec as S
+
+
+def test_empty_schema():
+    assert len(RuleSet.from_yaml("schema: []")) == 0
+
+
+def test_if_gate_drops_rule():
+    rs = RuleSet.from_yaml(
+        """
+bindings: {foo: bar}
+schema:
+  - {type: not_empty, column: tokens, if: $foo == foo}
+"""
+    )
+    assert len(rs) == 0
+
+
+def test_if_gate_keeps_rule_and_strips_key():
+    rs = RuleSet.from_yaml(
+        """
+bindings: {foo: bar}
+schema:
+  - {type: not_empty, column: tokens, if: $foo == bar}
+"""
+    )
+    assert rs.rules == [NotEmptyRule("r000.not_empty", 0, column="tokens")]
+
+
+def test_enum_expansion_multiplies_rules_in_sorted_order():
+    rs = RuleSet.from_yaml("schema: [{type: not_empty, column: '{n_tok|tokens|doc_id}'}]")
+    assert [r.column for r in rs.rules] == ["doc_id", "n_tok", "tokens"]
+    assert [r.seq for r in rs.rules] == [0, 1, 2]
+
+
+def test_range_expansion_with_format_spec():
+    rs = RuleSet.from_yaml("schema: [{type: not_empty, column: 'col_{0..2:02}'}]")
+    assert [r.column for r in rs.rules] == ["col_00", "col_01", "col_02"]
+
+
+def test_binding_expansion_and_override():
+    yaml_text = """
+bindings: {col: tokens}
+schema:
+  - {type: not_empty, column: "{$col}"}
+"""
+    assert RuleSet.from_yaml(yaml_text).rules[0].column == "tokens"
+    # caller-supplied bindings win (CLI -b analog)
+    rs = RuleSet.from_yaml(yaml_text, {"col": Str("n_tok")})
+    assert rs.rules[0].column == "n_tok"
+    # an enum override multiplies the rule
+    rs = RuleSet.from_yaml(yaml_text, {"col": EnumVal({"a", "b"})})
+    assert [r.column for r in rs.rules] == ["a", "b"]
+
+
+def test_unbound_binding_is_left_in_place():
+    # Schema-level expansion leaves unbound holes verbatim for a later
+    # binding pass (reference: leave_unbound_vars_in=True at
+    # __init__.py:135); an `if:` guard on an unbound name still raises.
+    rs = RuleSet.from_yaml("schema: [{type: not_empty, column: '{$nope}'}]")
+    assert rs.rules[0].column == "{$nope}"
+    with pytest.raises(UnboundSymbolError):
+        RuleSet.from_yaml("schema: [{type: not_empty, column: a, if: $nope == x}]")
+
+
+def test_nested_spec_expands_through_yaml_roundtrip():
+    rs = RuleSet.from_yaml(
+        """
+bindings: {lo: "5"}
+schema:
+  - type: column_spec
+    column: n_tok
+    spec: {type: int, min: "{$lo}"}
+"""
+    )
+    rule = rs.rules[0]
+    assert isinstance(rule, ColumnSpecRule)
+    assert rule.spec == S.IntSpec(min=5)
+
+
+def test_nested_multi_variant_expansion_is_rejected():
+    with pytest.raises(RuleSetError):
+        RuleSet.from_yaml(
+            """
+schema:
+  - type: column_spec
+    column: n_tok
+    spec: {type: int, min: "{1|2}"}
+"""
+        )
+
+
+def test_escaped_braces_survive_into_regex():
+    rs = RuleSet.from_yaml(
+        r"""
+schema:
+  - type: column_spec
+    column: doc_id
+    spec: {type: str, regex: "^doc-\\d{{8}}$"}
+"""
+    )
+    assert rs.rules[0].spec == S.StrSpec(regex=r"^doc-\d{8}$")
+
+
+def test_rule_ids_default_and_override():
+    rs = RuleSet.from_yaml(
+        """
+schema:
+  - {type: not_empty, column: a}
+  - {type: not_empty, column: b, id: my_rule}
+"""
+    )
+    assert [r.rule_id for r in rs.rules] == ["r000.not_empty", "my_rule"]
+
+
+def test_row_vs_table_rule_split():
+    rs = RuleSet.from_yaml(
+        """
+schema:
+  - {type: not_empty, column: a}
+  - {type: unique, keys: [doc_id]}
+  - {type: expr, assert: "1=1"}
+"""
+    )
+    assert len(rs.row_rules) == 2
+    assert len(rs.table_rules) == 1
+
+
+def test_missing_schema_key_rejected():
+    with pytest.raises(RuleSetError):
+        RuleSet.from_yaml("bindings: {}")
+
+
+def test_bad_binding_type_rejected():
+    with pytest.raises(RuleSetError):
+        RuleSet.from_yaml("bindings: {x: 3.5}\nschema: []")
