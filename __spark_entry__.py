@@ -1,38 +1,574 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship validation query at sf0.001;
+`queries()` exposes one callable per implemented operator (SURVEY.md §2 +
+training-data ops); `oracle_sql()` gives the DuckDB-equivalent ANSI SQL for
+every SQL-expressible query. Column names/aliases match exactly between the
+two sides (the driver hashes values under sorted column names).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fs_schema_validator_spark.engine import ValidationEngine  # noqa: E402
+from fs_schema_validator_spark.functions import sketches  # noqa: E402
+from fs_schema_validator_spark.functions.arrays import first_mismatch_index  # noqa: E402
+from fs_schema_validator_spark.operators import dedup, similarity, textstats  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: multi-rule validation over (deterministically corrupted) documents
+
+FLAGSHIP_RULES = r"""
+schema:
+  - type: column_spec
+    id: source_format
+    column: source
+    spec: {type: str, regex: "^src\\d+$"}
+  - type: expr
+    id: lang_known
+    assert: "lang in ('de','en','es','fr','zh')"
+    reason: "'unknown lang'"
+  - type: expr
+    id: nchars_consistency
+    assert: "n_chars = length(text)"
+    reason: "concat('n_chars mismatch: declared ', n_chars, ' got ', length(text))"
+  - type: not_empty
+    id: text_not_empty
+    column: text
+  - type: column_spec
+    id: nchars_bounds
+    column: n_chars
+    spec: {type: int, min: 1, max: 100000}
+"""
+
+
+def _corrupt_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic in-query corruption (mirrored verbatim in the oracle
+    CTE) so the validation queries produce non-empty, checkable output."""
+    d = F.col("doc_id")
+    return docs.select(
+        d.alias("doc_id"),
+        F.when(d % 83 == 0, F.lit("")).otherwise(F.col("text")).alias("text"),
+        F.when(d % 89 == 0, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+        F.when(d % 79 == 0, F.lit("SRC?")).otherwise(F.col("source")).alias("source"),
+        F.when(d % 83 == 0, F.lit(0))
+        .when(d % 97 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .cast("bigint")
+        .alias("n_chars"),
+    )
+
+
+_CORRUPT_DOCS_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 83 = 0 THEN '' ELSE text END AS text,
+         CASE WHEN doc_id % 89 = 0 THEN 'xx' ELSE lang END AS lang,
+         CASE WHEN doc_id % 79 = 0 THEN 'SRC?' ELSE source END AS source,
+         CAST(CASE WHEN doc_id % 83 = 0 THEN 0
+                   WHEN doc_id % 97 = 0 THEN n_chars + 1
+                   ELSE n_chars END AS BIGINT) AS n_chars
+  FROM documents
+"""
+
+
+def flagship_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _corrupt_documents(_t(spark, sf_dir, "documents"))
+    engine = ValidationEngine(subject_col="doc_id")
+    return engine.validate(docs, FLAGSHIP_RULES).sorted_violations()
+
+
+FLAGSHIP_ORACLE = f"""
+WITH c AS ({_CORRUPT_DOCS_SQL})
+SELECT CAST(doc_id AS VARCHAR) AS subject, 'source_format' AS rule_id, 0 AS rule_seq,
+       '`source`: String should match pattern ''^src\\d+$''' AS reason
+FROM c WHERE NOT regexp_matches(source, '^src\\d+$')
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'lang_known', 1, 'unknown lang'
+FROM c WHERE lang NOT IN ('de','en','es','fr','zh')
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'nchars_consistency', 2,
+       'n_chars mismatch: declared ' || n_chars || ' got ' || length(text)
+FROM c WHERE n_chars != length(text)
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'text_not_empty', 3, '`text`: cannot be empty'
+FROM c WHERE text IS NOT NULL AND length(text) = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'nchars_bounds', 4,
+       '`n_chars`: Input should be greater than or equal to 1'
+FROM c WHERE n_chars < 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# rule-kind queries over the TPC-H-ish tables
+
+
+def range_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def multiple_of_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_size") % 5 != 0).select("p_partkey", "p_size")
+
+
+def regex_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 111 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+    )
+    return cust.filter(~F.col("c_name").rlike(r"^Customer#\d{9}$")).select(
+        "c_custkey", "c_name"
+    )
+
+
+def enum_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 173 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    return orders.filter(~F.col("o_orderstatus").isin("O", "F", "P")).select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+def uniqueness_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        .filter(F.col("n_lines") > 1)
+    )
+
+
+def referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 211 == 0, F.col("o_custkey") + 100000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return orders.join(
+        F.broadcast(cust),
+        orders.o_custkey == cust.c_custkey,
+        "left_anti",
+    ).select("o_orderkey", "o_custkey")
+
+
+def completeness_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with no lineitems — manifest anti-join (the existence probe)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    present = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).distinct()
+    return orders.join(present, "o_orderkey", "left_anti").select(
+        "o_orderkey", F.lit("does not exist").alias("reason")
+    )
+
+
+def stats_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+    )
+
+
+def quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+def histogram_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = sketches.psi_vs_global(
+        docs, col="n_chars", group_col="lang", lo=0.0, hi=600.0, buckets=12
+    )
+    return out.select(F.col("grp").alias("lang"), "psi")
+
+
+# ---------------------------------------------------------------------------
+# text-analysis operators
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count(_t(spark, sf_dir, "documents"))
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_features(_t(spark, sf_dir, "documents"))
+
+
+def lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup operators
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant duplicates: re-insert every 10th doc under a shifted id
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    both = docs.unionByName(dupes)
+    out = dedup.exact_duplicates(both)
+    return out.select("fingerprint", "n_docs", "keeper")
+
+
+def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.prefix_duplicates(docs, prefix_words=4)
+
+
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.jaccard_pairs_exact(docs, k=3, threshold=0.5)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = dedup.minhash_signatures(docs, k=3, num_perm=64)
+    return dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+
+
+def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.simhash_signatures(docs)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search + array invariants
+
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    if sf_dir not in _QUERY_VEC_CACHE:
+        row = (
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .first()
+        )
+        _QUERY_VEC_CACHE[sf_dir] = [float(x) for x in row[0]]
+    return _QUERY_VEC_CACHE[sf_dir]
+
+
+def cosine_scores_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_scores(emb, _query_vec(spark, sf_dir), digits=5)
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def _corrupt_embeddings(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 41 == 0,
+            F.concat(F.col("embedding"), F.array(F.lit(0.0).cast("float"))),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+
+
+def embedding_dim_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _corrupt_embeddings(_t(spark, sf_dir, "embeddings"))
+    return emb.filter(F.size("embedding") != 64).select(
+        "vec_id", F.size("embedding").cast("bigint").alias("dim")
+    )
+
+
+def array_mismatch_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cor = _corrupt_embeddings(emb).select(
+        "vec_id", F.col("embedding").alias("corrupted")
+    )
+    joined = emb.join(cor, "vec_id")
+    return first_mismatch_index(joined, "embedding", "corrupted", key="vec_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (rows-only; binary payloads)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fs_schema_validator_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(
+            F.col("doc_id") % 31 == 0, F.encode(F.lit("GARBAGE"), "utf-8")
+        )
+        .otherwise(
+            F.encode(
+                F.format_string("IMG:%dx%d:payload-%d",
+                                (F.col("doc_id") % 64 + 1).cast("int"),
+                                (F.col("doc_id") % 48 + 1).cast("int"),
+                                F.col("doc_id")),
+                "utf-8",
+            )
+        )
+        .alias("payload"),
+        F.lit("image").alias("media_type"),
+        (F.col("doc_id") % 64 + 1).cast("int").alias("declared_width"),
+        (F.col("doc_id") % 48 + 1).cast("int").alias("declared_height"),
+    )
+    feats = multimodal.extract_features(media)
+    return multimodal.metadata_violations(feats, media)
+
+
+# ---------------------------------------------------------------------------
+# contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship_violations(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_violations": flagship_violations,
+        "range_violations": range_violations,
+        "multiple_of_violations": multiple_of_violations,
+        "regex_violations": regex_violations,
+        "enum_violations": enum_violations,
+        "uniqueness_duplicates": uniqueness_duplicates,
+        "referential_orphans": referential_orphans,
+        "completeness_missing": completeness_missing,
+        "stats_by_group": stats_by_group,
+        "quantiles_by_group": quantiles_by_group,
+        "histogram_psi": histogram_psi,
+        "token_counts": token_counts,
+        "quality_scores": quality_scores,
+        "lang_id_agreement": lang_id_agreement,
+        "doc_fingerprints": doc_fingerprints,
+        "dedup_exact_groups": dedup_exact_groups,
+        "prefix_dup_groups": prefix_dup_groups,
+        "jaccard_pairs": jaccard_pairs,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "simhash_sigs": simhash_sigs,
+        "cosine_scores_all": cosine_scores_all,
+        "ann_topk": ann_topk,
+        "embedding_dim_violations": embedding_dim_violations,
+        "array_mismatch_index": array_mismatch_index,
+        "multimodal_features": multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
+_SHINGLES = (
+    "CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] ELSE "
+    "list_distinct(list_transform(range(1, len(w) - 1), "
+    "i -> array_to_string(list_slice(w, i, i + 2), ' '))) END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_violations": FLAGSHIP_ORACLE,
+        "range_violations": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_quantity > 45"
+        ),
+        "multiple_of_violations": (
+            "SELECT p_partkey, p_size FROM part WHERE p_size % 5 != 0"
+        ),
+        "regex_violations": (
+            "WITH c AS (SELECT c_custkey, CASE WHEN c_custkey % 111 = 0 "
+            "THEN upper(c_name) ELSE c_name END AS c_name FROM customer) "
+            "SELECT c_custkey, c_name FROM c "
+            "WHERE NOT regexp_matches(c_name, '^Customer#\\d{9}$')"
+        ),
+        "enum_violations": (
+            "WITH o AS (SELECT o_orderkey, CASE WHEN o_orderkey % 173 = 0 "
+            "THEN 'X' ELSE o_orderstatus END AS o_orderstatus FROM orders) "
+            "SELECT o_orderkey, o_orderstatus FROM o "
+            "WHERE o_orderstatus NOT IN ('O','F','P')"
+        ),
+        "uniqueness_duplicates": (
+            "SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1"
+        ),
+        "referential_orphans": (
+            "WITH o AS (SELECT o_orderkey, CASE WHEN o_orderkey % 211 = 0 "
+            "THEN o_custkey + 100000 ELSE o_custkey END AS o_custkey FROM orders) "
+            "SELECT o_orderkey, o_custkey FROM o "
+            "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"
+        ),
+        "completeness_missing": (
+            "SELECT o_orderkey, 'does not exist' AS reason FROM orders o "
+            "WHERE NOT EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey)"
+        ),
+        "stats_by_group": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(l_quantity), 4) AS sum_qty, "
+            "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, "
+            "round(avg(l_quantity), 6) AS avg_qty, "
+            "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "quantiles_by_group": (
+            "SELECT l_returnflag, "
+            "round(quantile_cont(l_quantity, 0.25), 4) AS p25, "
+            "round(quantile_cont(l_quantity, 0.5), 4) AS p50, "
+            "round(quantile_cont(l_quantity, 0.75), 4) AS p75 "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "histogram_psi": (
+            "WITH hist AS (SELECT lang, least(11, greatest(0, "
+            "CAST(floor(n_chars / 50.0) AS INT))) AS bucket, "
+            "CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY 1, 2), "
+            "tot AS (SELECT lang, sum(cnt) AS total FROM hist GROUP BY 1), "
+            "q AS (SELECT h.lang, h.bucket, h.cnt / t.total AS q "
+            "FROM hist h JOIN tot t USING (lang)), "
+            "g AS (SELECT bucket, sum(cnt) AS gcnt FROM hist GROUP BY 1), "
+            "gt AS (SELECT sum(gcnt) AS gtotal FROM g), "
+            "p AS (SELECT bucket, gcnt / (SELECT gtotal FROM gt) AS p FROM g), "
+            "j AS (SELECT q.lang, greatest(q.q, 1e-6) AS qc, "
+            "greatest(coalesce(p.p, 0), 1e-6) AS pc "
+            "FROM q LEFT JOIN p USING (bucket)) "
+            "SELECT lang, round(sum((qc - pc) * ln(qc / pc)), 4) AS psi "
+            "FROM j GROUP BY lang"
+        ),
+        "token_counts": (
+            f"SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_words, "
+            "CAST(length(text) AS BIGINT) AS n_chars_seen FROM documents"
+        ),
+        "quality_scores": (
+            f"WITH w AS (SELECT doc_id, length(text) AS n_chars_seen, {_WORDS} AS w "
+            "FROM documents) "
+            "SELECT doc_id, CAST(n_chars_seen AS BIGINT) AS n_chars_seen, "
+            "CAST(len(w) AS BIGINT) AS n_words, "
+            "CASE WHEN len(w) > 0 THEN round(list_sum(list_transform(w, "
+            "t -> length(t))) / CAST(len(w) AS DOUBLE), 4) ELSE 0.0 END "
+            "AS avg_word_len, "
+            "CASE WHEN len(w) > 0 THEN round(len(list_filter(w, "
+            "t -> t IN ('the','a','of','and','to'))) / CAST(len(w) AS DOUBLE), 4) "
+            "ELSE 0.0 END AS stopword_ratio FROM w"
+        ),
+        "lang_id_agreement": (
+            "WITH w AS (SELECT doc_id, lang AS labeled_lang, "
+            f"{_WORDS.replace('lower(text)', 'lower(text)')} AS w FROM documents), "
+            "v AS (SELECT doc_id, labeled_lang, "
+            "len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS v_en, "
+            "len(list_filter(w, t -> t IN ('der','die','das','und','zu'))) AS v_de, "
+            "len(list_filter(w, t -> t IN ('le','la','les','et','de'))) AS v_fr, "
+            "len(list_filter(w, t -> t IN ('el','la','los','y','de'))) AS v_es "
+            "FROM w), "
+            "s AS (SELECT *, greatest(v_en, v_de, v_fr, v_es) AS best FROM v) "
+            "SELECT doc_id, labeled_lang, "
+            "CASE WHEN best = 0 THEN 'und' "
+            "WHEN v_en = best THEN 'en' WHEN v_de = best THEN 'de' "
+            "WHEN v_fr = best THEN 'fr' WHEN v_es = best THEN 'es' "
+            "ELSE 'und' END AS predicted_lang, "
+            "(CASE WHEN best = 0 THEN 'und' "
+            "WHEN v_en = best THEN 'en' WHEN v_de = best THEN 'de' "
+            "WHEN v_fr = best THEN 'fr' WHEN v_es = best THEN 'es' "
+            "ELSE 'und' END) = labeled_lang AS agree FROM s"
+        ),
+        "doc_fingerprints": (
+            "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents"
+        ),
+        "dedup_exact_groups": (
+            "WITH u AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0), "
+            "g AS (SELECT md5(lower(trim(text))) AS fingerprint, "
+            "CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper "
+            "FROM u GROUP BY 1) "
+            "SELECT fingerprint, n_docs, keeper FROM g WHERE n_docs > 1"
+        ),
+        "prefix_dup_groups": (
+            f"WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents), "
+            "g AS (SELECT md5(array_to_string(list_slice(w, 1, 4), ' ')) "
+            "AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, "
+            "min(doc_id) AS keeper FROM w GROUP BY 1) "
+            "SELECT fingerprint, n_docs, keeper FROM g WHERE n_docs > 1"
+        ),
+        "jaccard_pairs": (
+            f"WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents), "
+            f"s AS (SELECT doc_id, {_SHINGLES} AS sh FROM w), "
+            "d AS (SELECT doc_id, sh, len(sh) AS n FROM s) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "round(len(list_intersect(a.sh, b.sh)) / "
+            "CAST(a.n + b.n - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 4) "
+            "AS jaccard "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+            "AND least(a.n, b.n) >= greatest(a.n, b.n) * 0.5 "
+            "WHERE len(list_intersect(a.sh, b.sh)) / "
+            "CAST(a.n + b.n - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5"
+        ),
+        "cosine_scores_all": (
+            # embeddings are fixed 64-dim, so the series bound is constant
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+            "x AS (SELECT e.vec_id, i, "
+            "CAST(e.embedding[i] AS DOUBLE) AS a, CAST(q.qv[i] AS DOUBLE) AS b "
+            "FROM embeddings e, q, generate_series(1, 64) AS g(i)) "
+            "SELECT vec_id, round(sum(a * b) / "
+            "(sqrt(sum(a * a)) * sqrt(sum(b * b))), 5) AS cos "
+            "FROM x GROUP BY vec_id"
+        ),
+        "embedding_dim_violations": (
+            "WITH c AS (SELECT vec_id, CASE WHEN vec_id % 41 = 0 "
+            "THEN list_append(embedding, 0.0) ELSE embedding END AS embedding "
+            "FROM embeddings) "
+            "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim FROM c "
+            "WHERE len(embedding) != 64"
+        ),
+        "array_mismatch_index": (
+            # fixed bound 65 = max(len, len+1); out-of-range indexing yields
+            # NULL on both sides, which IS NOT DISTINCT, so equal rows drop
+            "WITH c AS (SELECT vec_id, embedding, CASE WHEN vec_id % 41 = 0 "
+            "THEN list_append(embedding, 0.0) ELSE embedding END AS corrupted "
+            "FROM embeddings) "
+            "SELECT vec_id, CAST(min(i) - 1 AS INT) AS mismatch_idx "
+            "FROM c, generate_series(1, 65) AS g(i) "
+            "WHERE embedding[i] IS DISTINCT FROM corrupted[i] "
+            "GROUP BY vec_id"
+        ),
+        # minhash_lsh_pairs, simhash_sigs, ann_topk, multimodal_features:
+        # approximate / hash-seeded / binary operators — rows-only checks.
+    }

@@ -1,0 +1,85 @@
+"""Single-pass distributed stats & distribution sketches.
+
+Everything here is one groupBy per pass (partial → final aggregation); no
+collect-driven loops. The drift math (PSI) is shared with the DriftRule in
+compiler/plan.py; this module adds the "vs global" variant used when no
+reference histogram table exists: compare each group's distribution to the
+whole table's, in one job (two aggregations over one cached scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-6
+
+
+def bucketize(col: Column, lo: float, hi: float, buckets: int) -> Column:
+    """Fixed-width bucket index, clamped to [0, buckets-1]."""
+    width = (hi - lo) / buckets
+    return F.least(
+        F.lit(buckets - 1),
+        F.greatest(F.lit(0), F.floor((col - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+
+
+def histogram(
+    df: DataFrame, col: str, group_col: str, lo: float, hi: float, buckets: int
+) -> DataFrame:
+    """(group, bucket, cnt) counts — partial-agg friendly."""
+    return (
+        df.groupBy(
+            F.col(group_col).alias("grp"),
+            bucketize(F.col(col), lo, hi, buckets).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def psi_vs_global(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    buckets: int,
+    digits: int = 4,
+) -> DataFrame:
+    """(group, psi) — population-stability index of each group's histogram
+    against the whole-table distribution. Zero-count buckets are clamped to EPS
+    (standard PSI practice) so the log stays finite."""
+    hist = histogram(df, col, group_col, lo, hi, buckets)
+    totals = hist.groupBy("grp").agg(F.sum("cnt").alias("total"))
+    q = hist.join(totals, "grp").select(
+        "grp", "bucket", (F.col("cnt") / F.col("total")).alias("q")
+    )
+    ghist = hist.groupBy("bucket").agg(F.sum("cnt").alias("gcnt"))
+    gtotal = float(df.count())
+    p = ghist.select("bucket", (F.col("gcnt") / F.lit(gtotal)).alias("p"))
+    joined = q.join(p, "bucket", "left").select(
+        "grp",
+        F.greatest(F.col("q"), F.lit(EPS)).alias("qc"),
+        F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(EPS)).alias("pc"),
+    )
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.round(
+                F.sum((F.col("qc") - F.col("pc")) * F.log(F.col("qc") / F.col("pc"))),
+                digits,
+            ).alias("psi")
+        )
+    )
+
+
+def group_stats(df: DataFrame, col: str, group_col: str) -> DataFrame:
+    """Canonical per-group single-pass stats block (exact, portable)."""
+    c = F.col(col)
+    return df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(c), 4).alias("sum_v"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.round(F.avg(c), 6).alias("avg_v"),
+    )

