@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "seq_rows_per_sec": ..., "seq_tokens_per_sec": ...}
+
+Two workloads:
+1. The driver-contract query catalog (scale-path queries only — the O(n²)
+   Jaccard oracle is excluded; MinHash-LSH is its scale replacement).
+2. The north-rule workload: full rule-set validation of a synthetic
+   tokenized-sequences table sized to the sf dir, reporting rows/sec and
+   tokens/sec. The input is materialized to parquet once (cached across
+   runs) so the timing measures the validation engine, not generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from fs_schema_validator_spark.engine import ValidationEngine  # noqa: E402
+from fs_schema_validator_spark.session import get_spark  # noqa: E402
+from fs_schema_validator_spark.sources import synth  # noqa: E402
+
+# Queries that are part of the timed headline suite. The quadratic
+# jaccard_pairs oracle and the tiny-output probes are excluded.
+HEADLINE = [
+    "flagship_violations",
+    "range_violations",
+    "uniqueness_duplicates",
+    "referential_orphans",
+    "completeness_missing",
+    "stats_by_group",
+    "quantiles_by_group",
+    "histogram_psi",
+    "token_counts",
+    "quality_scores",
+    "lang_id_agreement",
+    "dedup_exact_groups",
+    "minhash_lsh_pairs",
+    "cosine_scores_all",
+    "array_mismatch_index",
+]
+
+SEQ_RULES = r"""
+schema:
+  - type: column_spec
+    id: doc_id_format
+    column: doc_id
+    spec: {type: str, regex: "^doc-\\d{{8}}$"}
+  - type: column_spec
+    id: tokens_spec
+    column: tokens
+    spec: {type: array, items: {type: int, min: 0}}
+  - type: expr
+    id: ntok_consistency
+    assert: "n_tok = size(tokens)"
+    reason: "concat('n_tok mismatch: declared ', n_tok, ' got ', size(tokens))"
+  - type: not_empty
+    id: tokens_not_empty
+    column: tokens
+  - type: column_spec
+    id: ntok_bounds
+    column: n_tok
+    spec: {type: int, min: 1, max: 512}
+  - type: unique
+    id: doc_id_unique
+    keys: [doc_id]
+  - type: referential
+    id: source_known
+    column: source
+    dim: dim_sources
+    dim_key: source
+  - type: token_range
+    id: tokens_in_vocab
+    column: tokens
+    group_col: source
+    dim: dim_sources
+    dim_key: source
+    vocab_col: vocab_size
+  - type: array_equality
+    id: tokens_match_reference
+    column: tokens
+    reference: reference_tokens
+    key: doc_id
+  - type: drift_psi
+    id: ntok_drift
+    column: n_tok
+    group_col: source
+    ref: ref_distribution
+    buckets: 16
+    lo: 0
+    hi: 512
+    threshold: 0.25
+"""
+
+
+def _seq_rows_for(sf_dir: str) -> int:
+    # lineitem rows ~ 6M * sf; sequences sized to ~1/3 of that keeps the
+    # token volume (~50M tokens at sf0.1) in the >30s-of-work regime.
+    name = Path(sf_dir).name
+    try:
+        sf = float(name.removeprefix("sf"))
+    except ValueError:
+        sf = 0.1
+    return max(10_000, int(2_000_000 * sf))
+
+
+def _materialize_sequences(spark, n: int, base: Path) -> tuple[str, str]:
+    seq_path = base / f"sequences_{n}"
+    ref_path = base / f"reference_{n}"
+    if not (seq_path / "_SUCCESS").exists():
+        seq = synth.with_duplicates(
+            synth.corrupt_sequences(synth.gen_sequences(spark, n), every=997)
+        )
+        seq.write.mode("overwrite").parquet(str(seq_path))
+    if not (ref_path / "_SUCCESS").exists():
+        synth.gen_reference_tokens(spark, n).write.mode("overwrite").parquet(
+            str(ref_path)
+        )
+    return str(seq_path), str(ref_path)
+
+
+def bench_sequences(spark, sf_dir: str) -> dict:
+    n = _seq_rows_for(sf_dir)
+    base = Path(os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/fsv_bench"))
+    base.mkdir(parents=True, exist_ok=True)
+    seq_path, ref_path = _materialize_sequences(spark, n, base)
+
+    seq = spark.read.parquet(seq_path)
+    tables = {
+        "dim_sources": synth.gen_dim_sources(spark),
+        "reference_tokens": spark.read.parquet(ref_path),
+        "ref_distribution": synth.gen_ref_distribution(spark),
+    }
+    total_tokens = seq.agg(F.sum(F.size("tokens"))).first()[0]
+
+    # First pass pays whole-stage-codegen JIT compilation (~10s) which is
+    # irrelevant at production scale; report the steady-state pass as the
+    # headline and the cold pass alongside.
+    timings = []
+    n_viol = 0
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        res = ValidationEngine(subject_col="doc_id").validate(seq, SEQ_RULES, tables)
+        n_viol = res.violations.count()
+        timings.append(time.time() - t0)
+    elapsed = timings[-1]
+    return {
+        "seq_rows": n,
+        "seq_total_tokens": int(total_tokens),
+        "seq_violations": n_viol,
+        "seq_validate_sec": round(elapsed, 3),
+        "seq_validate_cold_sec": round(timings[0], 3),
+        "seq_rows_per_sec": round(n / elapsed, 1),
+        "seq_tokens_per_sec": round(total_tokens / elapsed, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        master=f"local[{cpus}]", app_name="fsv-bench", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        # noop sink: full execution without driver-side collect overhead
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # drop caches accumulated by the query suite (LSH banding etc.) so the
+    # sequences workload is measured on a quiet executor
+    spark.catalog.clearCache()
+    seq_stats = bench_sequences(spark, sf_dir)
+
+    total = round(sum(timings.values()) + seq_stats["seq_validate_sec"], 3)
+    out = {
+        "metric": "validation_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {**timings, "seq_validate": seq_stats["seq_validate_sec"]},
+        "sf": Path(sf_dir).name,
+        "cpus": cpus,
+        **seq_stats,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

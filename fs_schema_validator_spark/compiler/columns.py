@@ -163,6 +163,64 @@ def _compile_literal(spec: S.LiteralSpec, dtype: T.DataType) -> Checker:
 
 
 # ---------------------------------------------------------------------------
+# ok-predicate fast path: a cheap boolean "value satisfies spec" expression
+# for scalar specs, used to SCREEN array elements before materializing
+# per-element violation structs (screening is ~5x cheaper per element than
+# building detail arrays; details are computed only for violating rows).
+
+
+def ok_predicate(spec: S.Spec, dtype: T.DataType) -> Callable[[Column], Column] | None:
+    def wrap(inner: Callable[[Column], Column]) -> Callable[[Column], Column]:
+        if spec.nullable:
+            return lambda v: v.isNull() | inner(v)
+        return lambda v: v.isNotNull() & inner(v)
+
+    if isinstance(spec, S.BoolSpec):
+        if not isinstance(dtype, T.BooleanType):
+            return lambda v: F.lit(False)
+        return wrap(lambda v: F.lit(True))
+    if isinstance(spec, (S.IntSpec, S.FloatSpec)):
+        compatible = (
+            isinstance(dtype, _INTEGRAL)
+            if isinstance(spec, S.IntSpec)
+            else isinstance(dtype, (*_FLOATING, T.DecimalType))
+        )
+        if not compatible:
+            return lambda v: F.lit(False)
+
+        def num_ok(v: Column, spec=spec) -> Column:
+            pred = F.lit(True)
+            for cond, _ in _numeric_conds(spec, v):
+                pred = pred & ~cond
+            return pred
+
+        return wrap(num_ok)
+    if isinstance(spec, S.StrSpec):
+        if not isinstance(dtype, T.StringType):
+            return lambda v: F.lit(False)
+
+        def str_ok(v: Column, spec=spec) -> Column:
+            pred = F.lit(True)
+            if spec.min_length is not None:
+                pred = pred & (F.length(v) >= spec.min_length)
+            if spec.max_length is not None:
+                pred = pred & (F.length(v) <= spec.max_length)
+            if spec.regex is not None:
+                pred = pred & v.rlike(spec.regex)
+            return pred
+
+        return wrap(str_ok)
+    if isinstance(spec, S.LiteralSpec):
+        chk = _compile_literal(spec, dtype)
+
+        def lit_ok(v: Column, chk=chk) -> Column:
+            return F.size(chk(v, F.lit(""))) == 0
+
+        return wrap(lit_ok)
+    return None  # composite specs: no cheap screen
+
+
+# ---------------------------------------------------------------------------
 # composite kinds
 
 
@@ -170,6 +228,7 @@ def _compile_array(spec: S.ArraySpec, dtype: T.DataType) -> Checker:
     if not isinstance(dtype, T.ArrayType):
         return _const_error(M.not_valid(spec.type_name))
     item_checker = compile_checker(spec.items, dtype.elementType)
+    item_ok = ok_predicate(spec.items, dtype.elementType)
 
     def check(value: Column, path: Column) -> Column:
         parts: list[Column] = []
@@ -194,16 +253,22 @@ def _compile_array(spec: S.ArraySpec, dtype: T.DataType) -> Checker:
                 )
             )
         parts.append(_collect_with_path(path, size_conds))
-        parts.append(
-            F.flatten(
-                F.transform(
-                    value,
-                    lambda e, i: item_checker(
-                        e, F.concat(path, F.lit("."), i.cast("string"))
-                    ),
-                )
+        detail = F.flatten(
+            F.transform(
+                value,
+                lambda e, i: item_checker(
+                    e, F.concat(path, F.lit("."), i.cast("string"))
+                ),
             )
         )
+        if item_ok is not None:
+            # Screen-then-detail: the cheap boolean exists() scan touches
+            # every element; the expensive struct-building detail pass runs
+            # only on rows that actually contain a violation.
+            detail = F.when(
+                F.exists(value, lambda e: ~item_ok(e)), detail
+            ).otherwise(empty_errors())
+        parts.append(detail)
         return F.concat(*parts)
 
     return check

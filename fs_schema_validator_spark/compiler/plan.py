@@ -240,13 +240,55 @@ class CompiledPlan:
         if isinstance(rule, Mdl.ArrayEqualityRule):
             from ..functions.arrays import first_mismatch_index
 
+            # Hash-screen join: shuffle (key, xxhash64(array)) — 16 bytes a
+            # row — instead of the arrays themselves; re-join the arrays only
+            # for keys whose hashes disagree (rare corruption). A hash match
+            # on unequal arrays (p ~ 2^-64) would miss a violation; a hash
+            # mismatch is always a real difference, so no false positives.
+            # size() disambiguates null vs empty (xxhash64 maps both a null
+            # array and some inputs to seed-derived values; size(null) is
+            # null so eqNullSafe catches null-vs-empty).
+            lh = df.select(
+                F.col(rule.key),
+                F.xxhash64(F.col(rule.column)).alias("_ha"),
+                F.size(F.col(rule.column)).alias("_sa"),
+            )
+            rh = self._aux(rule.reference).select(
+                F.col(rule.key),
+                F.xxhash64(F.col(rule.ref_column)).alias("_hb"),
+                F.size(F.col(rule.ref_column)).alias("_sb"),
+            )
+            bad_keys = (
+                lh.join(rh, on=rule.key, how="inner")
+                .filter(
+                    ~F.col("_ha").eqNullSafe(F.col("_hb"))
+                    | ~F.col("_sa").eqNullSafe(F.col("_sb"))
+                )
+                .select(rule.key)
+                .distinct()
+                .cache()
+            )
+            n_bad = bad_keys.count()
+            if n_bad == 0:
+                # clean partition fast path: no array ever leaves the scan
+                return self.spark.createDataFrame([], VIOLATION_SCHEMA)
             ref = self._aux(rule.reference).select(
                 F.col(rule.key),
                 F.col(rule.ref_column).alias("_ref_arr"),
             )
-            joined = df.select(F.col(rule.key), F.col(rule.column)).join(
-                ref, on=rule.key, how="inner"
-            )
+            if n_bad <= 5_000_000:
+                # Rare-corruption path: both probe sides broadcast, so
+                # neither big table shuffles — two streaming scans total.
+                survivors = df.select(F.col(rule.key), F.col(rule.column)).join(
+                    F.broadcast(bad_keys), on=rule.key, how="inner"
+                )
+                joined = ref.join(F.broadcast(survivors), on=rule.key, how="inner")
+            else:  # pathological corruption: fall back to shuffled joins
+                joined = (
+                    df.select(F.col(rule.key), F.col(rule.column))
+                    .join(bad_keys, on=rule.key, how="inner")
+                    .join(ref, on=rule.key, how="inner")
+                )
             mism = first_mismatch_index(joined, rule.column, "_ref_arr", key=rule.key)
             return mism.filter(F.col("mismatch_idx") >= 0).select(
                 F.col(rule.key).cast("string").alias("subject"),

@@ -117,6 +117,65 @@ def first_mismatch_index(
     return candidates.mapInArrow(compute, out_schema)
 
 
+def minhash_mix_kernel(
+    h: pa.Array, num_perm: int, seed: int = 0x9E3779B97F4A7C15
+) -> np.ndarray:
+    """(rows, num_perm) MinHash signature matrix from per-row base-hash lists.
+
+    Permutation p is the universal-hash mix ``A_p * x + B_p`` over uint64
+    (wrap-around); constants come from a splitmix64 stream of `seed`. The
+    min per row/permutation is np.minimum.reduceat over the flat values —
+    one vectorized pass per permutation, no per-row Python."""
+    starts, lengths, values, validity = _list_views(h)
+    n = len(lengths)
+    flat = values.astype(np.uint64, copy=False)
+    # row segment boundaries for reduceat (empty/invalid rows handled after)
+    seg = starts.astype(np.int64)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = (lengths > 0) & validity
+    if nonempty.any():
+        # splitmix64 constant stream
+        consts = []
+        state = np.uint64(seed)
+        for _ in range(2 * num_perm):
+            state = (state + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(~0)
+            z = state
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            consts.append(z ^ (z >> np.uint64(31)))
+        seg_ne = seg[nonempty]
+        with np.errstate(over="ignore"):
+            for p in range(num_perm):
+                a = consts[2 * p] | np.uint64(1)  # odd multiplier
+                b = consts[2 * p + 1]
+                mixed = flat * a + b
+                out[nonempty, p] = np.minimum.reduceat(mixed, seg_ne)
+    return out.astype(np.int64)
+
+
+def minhash_signatures_from_hashes(
+    df: DataFrame, hash_col: str, id_col: str = "doc_id", num_perm: int = 64
+) -> DataFrame:
+    """(id, sig array<bigint>) — Arrow-batched NumPy MinHash over a column of
+    pre-hashed shingles (hash the strings JVM-side with xxhash64 first)."""
+    id_field = df.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, sig array<bigint>"
+    src = df.select(F.col(id_col), F.col(hash_col).alias("_h"))
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            sig = minhash_mix_kernel(batch.column("_h"), num_perm)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    pa.array(list(sig), type=pa.list_(pa.int64())),
+                ],
+                names=[id_col, "sig"],
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
 def cosine_similarity(a, b):
     """JVM-side cosine similarity between two array<float> columns.
 
