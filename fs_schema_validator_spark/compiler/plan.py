@@ -323,43 +323,47 @@ class CompiledPlan:
         raise RuleSetError(f"unknown table rule: {rule}")
 
     def _drift_violations(self, rule: Mdl.DriftRule) -> DataFrame:
-        eps = 1e-6
-        width = (rule.hi - rule.lo) / rule.buckets
-        bucket = F.least(
-            F.lit(rule.buckets - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.col(rule.column) - rule.lo) / F.lit(width)).cast("int"),
-            ),
-        )
+        from ..functions.sketches import bucketize, ks_statistic
+
         hist = (
-            self.df.groupBy(F.col(rule.group_col).alias("_grp"), bucket.alias("bucket"))
+            self.df.groupBy(
+                F.col(rule.group_col).alias("grp"),
+                bucketize(F.col(rule.column), rule.lo, rule.hi, rule.buckets).alias(
+                    "bucket"
+                ),
+            )
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        totals = hist.groupBy("_grp").agg(F.sum("cnt").alias("total"))
-        q = hist.join(totals, "_grp").select(
-            "_grp", "bucket", (F.col("cnt") / F.col("total")).alias("q")
-        )
         ref = self._aux(rule.ref).select(
-            F.col(rule.group_col).alias("_grp"), F.col("bucket"), F.col("p")
+            F.col(rule.group_col).alias("grp"), F.col("bucket"), F.col("p")
         )
-        joined = q.join(ref, ["_grp", "bucket"], "full_outer").select(
-            "_grp",
-            F.coalesce(F.col("q"), F.lit(0.0)).alias("q"),
-            F.coalesce(F.col("p"), F.lit(0.0)).alias("p"),
-        )
-        qc = F.greatest(F.col("q"), F.lit(eps))
-        pc = F.greatest(F.col("p"), F.lit(eps))
-        psi = joined.groupBy("_grp").agg(
-            F.sum((qc - pc) * F.log(qc / pc)).alias("psi")
-        )
-        return psi.filter(F.col("psi") > rule.threshold).select(
-            F.col("_grp").cast("string").alias("subject"),
+        if rule.metric == "ks":
+            stat = ks_statistic(hist, ref).select("grp", F.col("ks_d").alias("stat"))
+            label = "KS"
+        else:
+            eps = 1e-6
+            totals = hist.groupBy("grp").agg(F.sum("cnt").alias("total"))
+            q = hist.join(totals, "grp").select(
+                "grp", "bucket", (F.col("cnt") / F.col("total")).alias("q")
+            )
+            joined = q.join(ref, ["grp", "bucket"], "full_outer").select(
+                "grp",
+                F.coalesce(F.col("q"), F.lit(0.0)).alias("q"),
+                F.coalesce(F.col("p"), F.lit(0.0)).alias("p"),
+            )
+            qc = F.greatest(F.col("q"), F.lit(eps))
+            pc = F.greatest(F.col("p"), F.lit(eps))
+            stat = joined.groupBy("grp").agg(
+                F.sum((qc - pc) * F.log(qc / pc)).alias("stat")
+            )
+            label = "PSI"
+        return stat.filter(F.col("stat") > rule.threshold).select(
+            F.col("grp").cast("string").alias("subject"),
             F.lit(rule.rule_id).alias("rule_id"),
             F.lit(rule.seq).alias("rule_seq"),
             F.format_string(
-                "distribution drift: PSI %.4f > %s",
-                F.col("psi"),
+                f"distribution drift: {label} %.4f > %s",
+                F.col("stat"),
                 F.lit(_trim_float(rule.threshold)),
             ).alias("reason"),
         )

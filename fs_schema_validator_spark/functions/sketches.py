@@ -73,6 +73,39 @@ def psi_vs_global(
     )
 
 
+def ks_statistic(
+    hist_q: DataFrame, hist_p: DataFrame, digits: int = 4
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D per group from bucketed histograms.
+
+    D = max over buckets |CDF_q - CDF_p|, with CDFs built by a cumulative
+    window over bucket index. Inputs: (grp, bucket, cnt) for the subject
+    side, (grp, bucket, p) probability masses for the reference. Histogram
+    granularity bounds the error at one bucket width — the standard
+    sketch-based KS at scale (exact KS needs a full sort)."""
+    from pyspark.sql import Window
+
+    totals = hist_q.groupBy("grp").agg(F.sum("cnt").alias("total"))
+    q = hist_q.join(totals, "grp").select(
+        "grp", "bucket", (F.col("cnt") / F.col("total")).alias("q")
+    )
+    joined = q.join(hist_p, ["grp", "bucket"], "full_outer").select(
+        "grp",
+        "bucket",
+        F.coalesce(F.col("q"), F.lit(0.0)).alias("q"),
+        F.coalesce(F.col("p"), F.lit(0.0)).alias("p"),
+    )
+    w = Window.partitionBy("grp").orderBy("bucket")
+    cdfs = joined.select(
+        "grp",
+        F.sum("q").over(w).alias("cq"),
+        F.sum("p").over(w).alias("cp"),
+    )
+    return cdfs.groupBy("grp").agg(
+        F.round(F.max(F.abs(F.col("cq") - F.col("cp"))), digits).alias("ks_d")
+    )
+
+
 def group_stats(df: DataFrame, col: str, group_col: str) -> DataFrame:
     """Canonical per-group single-pass stats block (exact, portable)."""
     c = F.col(col)

@@ -1,0 +1,119 @@
+"""CLI: validate a table against a YAML rule spec.
+
+The spark-submit entry point (reference analog: validate_schema CLI,
+/root/reference/fs_schema_validator/__main__.py:25-96):
+
+    spark-submit --py-files fs_schema_validator_spark.zip \
+        -m fs_schema_validator_spark validate \
+        --rules rules.yaml --table /data/sequences \
+        --aux dim_sources=/data/dims --aux reference_tokens=/data/ref \
+        -b idx=0..3 --subject doc_id --output /out/violations
+
+Exit codes keep the reference contract: 0 = all rules pass, 1 = violations
+found, 127 = the rule spec itself is invalid.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from ..engine import ValidationEngine
+from ..evaluator import ParseError, parse_assignment
+from ..rules.loader import RuleSetError
+from ..session import get_spark
+
+
+class UsageError(Exception):
+    """Bad invocation (exit 2, distinct from validation failure's exit 1)."""
+
+
+def _parse_aux(values: list[str]) -> dict[str, str]:
+    out = {}
+    for v in values:
+        if "=" not in v:
+            raise UsageError(f"--aux expects name=path, got {v!r}")
+        name, path = v.split("=", 1)
+        out[name] = path
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fs_schema_validator_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    v = sub.add_parser("validate", help="validate a table against a rule spec")
+    v.add_argument("--rules", required=True, help="YAML rule-spec path")
+    v.add_argument("--table", required=True, help="subject table path (parquet)")
+    v.add_argument("--aux", action="append", default=[], help="name=path auxiliary table")
+    v.add_argument("-b", "--binding", action="append", default=[],
+                   help="binding override, e.g. -b idx=0..3 (repeatable)")
+    v.add_argument("--subject", default="doc_id", help="subject key column")
+    v.add_argument("--output", default=None, help="write violations parquet here")
+    v.add_argument("--group", default=None, help="print per-group summary on this column")
+    v.add_argument("--verbose", "-v", action="store_true")
+    v.add_argument("--max-print", type=int, default=50,
+                   help="max violation subjects to print")
+    return p
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    try:
+        aux = _parse_aux(args.aux)
+    except UsageError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+
+    try:
+        bindings = dict(parse_assignment(b) for b in args.binding)
+    except ParseError as e:
+        print(f"binding cannot be parsed: {e}", file=sys.stderr)
+        return 127
+
+    try:
+        with open(args.rules) as f:
+            rules_yaml = f.read()
+    except OSError as e:
+        print(f"cannot read rule spec: {e}", file=sys.stderr)
+        return 127
+
+    spark = get_spark(app_name="fsv-validate")
+    spark.sparkContext.setLogLevel("WARN")
+    df = spark.read.parquet(args.table)
+    tables = {name: spark.read.parquet(path) for name, path in aux.items()}
+
+    engine = ValidationEngine(subject_col=args.subject)
+    try:
+        result = engine.validate(df, rules_yaml, tables, bindings)
+    except (RuleSetError, ParseError) as e:
+        print("The provided rule spec is invalid!", file=sys.stderr)
+        print(str(e), file=sys.stderr)
+        return 127
+
+    if args.output:
+        result.sorted_violations().write.mode("overwrite").parquet(args.output)
+
+    if args.group:
+        result.summary(args.group).show(truncate=False)
+
+    grouped = result.grouped_by_subject().limit(args.max_print).collect()
+    if not grouped:
+        if args.verbose:
+            print("all rules passed")
+        return 0
+    for row in grouped:
+        print(f"! {row.subject}")
+        for reason in row.reasons:
+            print(f"     - {reason}")
+    return 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "validate":
+        return cmd_validate(args)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -131,8 +131,10 @@ class ArrayEqualityRule(RuleBase):
 
 @dataclass(frozen=True)
 class DriftRule(RuleBase):
-    """PSI distribution drift of ``column`` per ``group_col`` vs a reference
-    histogram table (north-rule addition). Violation per drifted group."""
+    """Distribution drift of ``column`` per ``group_col`` vs a reference
+    histogram table (north-rule addition). ``metric`` is "psi" (population
+    stability index) or "ks" (bucketed two-sample Kolmogorov–Smirnov D).
+    Violation per drifted group."""
 
     column: str
     group_col: str
@@ -141,6 +143,7 @@ class DriftRule(RuleBase):
     lo: float = 0.0
     hi: float = 1.0
     threshold: float = 0.2
+    metric: str = "psi"
 
 
 @dataclass(frozen=True)

@@ -28,10 +28,13 @@ MAX_SEQ_LEN = 512
 
 def _source_col(i: Column, skew: bool = False) -> Column:
     if skew:
-        # 90% of rows land on the hot source `cc`; the rest round-robin.
+        # 90% of rows land on the hot source `cc`; the tail round-robins
+        # over the other three.
+        tail = (i / 10).cast("long") % 3
         return (
             F.when(i % 10 < 9, F.lit("cc"))
-            .when(i % 10 == 9, F.lit("wiki"))
+            .when(tail == 0, F.lit("wiki"))
+            .when(tail == 1, F.lit("code"))
             .otherwise(F.lit("books"))
         )
     expr = F.when(i % 4 == 0, SOURCES[0])

@@ -1,0 +1,146 @@
+"""Checkpoint/resume + CLI contract tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from fs_schema_validator_spark.sources import synth
+from fs_schema_validator_spark.engine import ValidationEngine
+from fs_schema_validator_spark.streaming.checkpoint import (
+    ParquetManifestStore,
+    ResumableValidator,
+    rules_fingerprint,
+)
+
+RULES = """
+schema:
+  - type: not_empty
+    column: tokens
+  - type: expr
+    id: ntok_consistency
+    assert: "n_tok = size(tokens)"
+    reason: "'mismatch'"
+"""
+
+
+@pytest.fixture()
+def validator(spark, tmp_path):
+    store = ParquetManifestStore(spark, str(tmp_path / "manifest"))
+    return ResumableValidator(
+        ValidationEngine(subject_col="doc_id"), store, partition_col="source"
+    )
+
+
+def test_first_run_validates_all_partitions(spark, validator):
+    seq = synth.corrupt_sequences(synth.gen_sequences(spark, 40), every=10)
+    results = validator.run(seq, RULES, snapshot_id="snap1")
+    # corruption mode 4 rewrites some sources to 'bogus' — a 5th partition
+    assert sorted(results) == ["bogus", "books", "cc", "code", "wiki"]
+    # corruption mode 0 (empty tokens) hits source cc (i=0); mode 1 wiki...
+    assert results["cc"]["verdict"] == "FAIL"
+    assert results["cc"]["n_violations"] > 0
+
+
+def test_rerun_skips_validated_partitions(spark, validator):
+    seq = synth.gen_sequences(spark, 40)
+    first = validator.run(seq, RULES, snapshot_id="snapA")
+    assert len(first) == 4
+    second = validator.run(seq, RULES, snapshot_id="snapA")
+    assert second == {}  # everything checkpointed
+    assert validator.pending_partitions(seq, RULES, "snapA") == []
+
+
+def test_new_snapshot_revalidates(spark, validator):
+    seq = synth.gen_sequences(spark, 40)
+    validator.run(seq, RULES, snapshot_id="snapA")
+    pending = validator.pending_partitions(seq, RULES, snapshot_id="snapB")
+    assert len(pending) == 4
+
+
+def test_rule_change_revalidates(spark, validator):
+    seq = synth.gen_sequences(spark, 40)
+    validator.run(seq, RULES, snapshot_id="snapA")
+    changed = RULES + "  - {type: not_empty, column: doc_id}\n"
+    assert rules_fingerprint(changed) != rules_fingerprint(RULES)
+    assert len(validator.pending_partitions(seq, changed, "snapA")) == 4
+
+
+def test_manifest_records_lineage(spark, validator):
+    seq = synth.gen_sequences(spark, 40)
+    validator.run(seq, RULES, snapshot_id="snapZ")
+    manifest = validator.store.read().collect()
+    assert len(manifest) == 4
+    row = manifest[0]
+    assert row.rules_hash == rules_fingerprint(RULES)
+    assert row.snapshot_id == "snapZ"
+    assert row.input_rows == 10
+    assert row.engine_version == "0.1.0"
+    assert row.validated_at is not None
+
+
+# ---------------------------------------------------------------------------
+# CLI
+
+
+def test_cli_exit_codes(spark, tmp_path, capsys):
+    from fs_schema_validator_spark.plans.cli import main
+
+    table = str(tmp_path / "seq")
+    synth.corrupt_sequences(synth.gen_sequences(spark, 20), every=10).write.parquet(
+        table
+    )
+    rules_ok = tmp_path / "ok.yaml"
+    rules_ok.write_text("schema: [{type: not_empty, column: doc_id}]")
+    rules_fail = tmp_path / "fail.yaml"
+    rules_fail.write_text(RULES)
+    rules_bad = tmp_path / "bad.yaml"
+    rules_bad.write_text("schema: [{type: nonsense}]")
+
+    assert main(["validate", "--rules", str(rules_ok), "--table", table]) == 0
+
+    out_path = str(tmp_path / "violations")
+    assert (
+        main(
+            [
+                "validate",
+                "--rules",
+                str(rules_fail),
+                "--table",
+                table,
+                "--output",
+                out_path,
+            ]
+        )
+        == 1
+    )
+    printed = capsys.readouterr().out
+    assert "! doc-" in printed and "cannot be empty" in printed
+    written = spark.read.parquet(out_path)
+    assert written.count() > 0
+
+    assert main(["validate", "--rules", str(rules_bad), "--table", table]) == 127
+
+
+def test_cli_binding_override(spark, tmp_path):
+    from fs_schema_validator_spark.plans.cli import main
+
+    table = str(tmp_path / "seq2")
+    synth.gen_sequences(spark, 8).write.parquet(table)
+    rules = tmp_path / "r.yaml"
+    rules.write_text(
+        """
+bindings: {col: doc_id}
+schema:
+  - {type: not_empty, column: "{$col}"}
+"""
+    )
+    # default binding passes; overriding to a column with empties would fail,
+    # but here we just prove the -b path parses and applies
+    assert (
+        main(["validate", "--rules", str(rules), "--table", table, "-b", "col=doc_id"])
+        == 0
+    )
+    assert (
+        main(["validate", "--rules", str(rules), "--table", table, "-b", "col={}"])
+        == 127
+    )

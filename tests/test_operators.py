@@ -1,0 +1,209 @@
+"""Operator tests: dedup recall on planted near-dups, ANN recall, text
+stats, multimodal plumbing, skew-safe aggregation, KS drift."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fs_schema_validator_spark.engine import ValidationEngine
+from fs_schema_validator_spark.functions import skew
+from fs_schema_validator_spark.operators import dedup, multimodal, similarity, textstats
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor"
+).split()
+
+
+def _doc(i: int, mutate: int | None = None) -> str:
+    # seeded per-doc RNG: docs are mutually independent word sequences
+    # (a rotating-window generator makes every doc a near-dup of every other)
+    import random
+
+    rng = random.Random(i)
+    ws = rng.choices(WORDS, k=30)
+    if mutate is not None:
+        ws[mutate] = "zulu"
+    return " ".join(ws)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(40):
+        rows.append((i, _doc(i)))
+    # planted near-duplicates: single-word mutations of docs 0..4
+    for i in range(5):
+        rows.append((1000 + i, _doc(i, mutate=15)))
+    # planted exact duplicate
+    rows.append((2000, _doc(7)))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].doc_ids == [7, 2000]
+    assert groups[0].keeper == 7
+
+
+def test_jaccard_finds_planted_near_dups(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs_exact(docs, k=3, threshold=0.5).collect()
+    }
+    for i in range(5):
+        assert (i, 1000 + i) in pairs, f"planted near-dup {i} not found"
+        assert pairs[(i, 1000 + i)] > 0.7
+    assert (7, 2000) in pairs and pairs[(7, 2000)] == 1.0
+
+
+@pytest.mark.parametrize("strategy", ["arrow", "sql"])
+def test_minhash_lsh_recall(docs, strategy):
+    sigs = dedup.minhash_signatures(docs, k=3, num_perm=64, strategy=strategy)
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=4).collect()
+    }
+    # all planted pairs (jaccard ~0.8+) must surface as LSH candidates
+    for i in range(5):
+        assert (i, 1000 + i) in cands, f"LSH missed planted pair {i} ({strategy})"
+    assert (7, 2000) in cands
+
+
+def test_simhash_near_dups_collide(docs):
+    sigs = dedup.simhash_signatures(docs)
+    cands = {
+        (r.doc_a, r.doc_b) for r in dedup.simhash_candidates(sigs).collect()
+    }
+    # exact duplicate must share all bands; near-dups share at least one
+    assert (7, 2000) in cands
+    hits = sum((i, 1000 + i) in cands for i in range(5))
+    assert hits >= 3
+
+
+def test_ann_topk_exact_vs_lsh(spark):
+    import math
+
+    rows = []
+    for i in range(200):
+        vec = [math.sin(i * 0.1 + d) for d in range(8)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    query = [math.sin(0.5 + d) for d in range(8)]  # equals vec 5
+
+    exact = [r.vec_id for r in similarity.topk_cosine(emb, query, k=5).collect()]
+    assert exact[0] == 5  # the identical vector ranks first
+
+    approx = similarity.lsh_bucketed_topk(emb, query, k=5, n_planes=4).collect()
+    assert [r.vec_id for r in approx][0] == 5  # same bucket as itself
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat"), (2, ""), (3, "  spaced   out  ")],
+        "doc_id bigint, text string",
+    )
+    tc = {r.doc_id: r.n_words for r in textstats.token_count(df).collect()}
+    assert tc == {1: 6, 2: 0, 3: 2}
+    q = {r.doc_id: r for r in textstats.quality_features(df).collect()}
+    assert q[1].stopword_ratio == pytest.approx(2 / 6, abs=1e-4)
+    assert q[2].avg_word_len == 0.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house", "en"),
+            (2, "der hund und die katze zu haus", "de"),
+            (3, "xyzzy plugh", "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {r.doc_id: r.predicted_lang for r in textstats.lang_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_multimodal_declared_vs_actual(spark):
+    media = spark.createDataFrame(
+        [
+            ("m1", b"IMG:4x3:data", "image", 4, 3),
+            ("m2", b"IMG:4x3:data", "image", 8, 8),
+            ("m3", b"NOT AN IMAGE", "image", 4, 3),
+            ("m4", None, "image", 4, 3),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.extract_features(media)
+    violations = {
+        r.subject: r.reason
+        for r in multimodal.metadata_violations(feats, media).collect()
+    }
+    assert "m1" not in violations
+    assert violations["m2"] == "image dims 4x3 do not match declared 8x8"
+    assert violations["m3"] == "file does not contain a valid image"
+    assert violations["m4"] == "file does not contain a valid image"
+
+
+def test_salted_collect_list_matches_plain(spark):
+    from fs_schema_validator_spark.sources import synth
+
+    df = synth.gen_sequences(spark, 500, skew=True).select("source", "n_tok")
+    salted = {
+        r.source: r.values
+        for r in skew.salted_collect_list(df, ["source"], "n_tok").collect()
+    }
+    plain = {
+        r.source: sorted(r.vals)
+        for r in df.groupBy("source")
+        .agg(F.collect_list("n_tok").alias("vals"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_skewed_source_distribution(spark):
+    from fs_schema_validator_spark.sources import synth
+
+    counts = {
+        r.source: r.n
+        for r in synth.gen_sequences(spark, 1000, skew=True)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts["cc"] == 900
+
+
+def test_ks_drift_rule(spark):
+    from fs_schema_validator_spark.sources import synth
+
+    n = 4096
+    seq = synth.gen_sequences(spark, n).withColumn(
+        "n_tok",
+        F.when(
+            F.col("source") == "wiki", F.least(F.col("n_tok") + 192, F.lit(512))
+        ).otherwise(F.col("n_tok")),
+    )
+    rules = """
+schema:
+  - type: drift_psi
+    id: ntok_ks
+    column: n_tok
+    group_col: source
+    ref: ref_distribution
+    metric: ks
+    buckets: 16
+    lo: 0
+    hi: 512
+    threshold: 0.2
+"""
+    res = ValidationEngine(subject_col="doc_id").validate(
+        seq, rules, {"ref_distribution": synth.gen_ref_distribution(spark)}
+    )
+    rows = res.violations.collect()
+    assert [r.subject for r in rows] == ["wiki"]
+    assert "KS" in rows[0].reason
