@@ -126,6 +126,114 @@ class CompiledPlan:
         self.subject_col = subject_col
         self.tables = dict(tables)
         self.spark = df.sparkSession
+        self._fused: DataFrame | None = None
+
+    # -- fused projection ---------------------------------------------------
+    #
+    # THE scan-count lever. The wide token/array columns dominate scan cost
+    # (parquet decode of the tokens column saturates local memory bandwidth
+    # long before CPUs do), so the plan touches them exactly ONCE:
+    #
+    #   * every row rule's violation array,
+    #   * token-range rules LIFTED into the row pass (vocab broadcast-joined
+    #     onto the scan instead of a separate join job),
+    #   * the equality rules' screen hashes xxhash64(arr)/size(arr),
+    #   * the scalar columns the remaining table rules group/join on,
+    #
+    # all computed in one projection over one scan, persisted as a NARROW
+    # table (subject + a few scalars + mostly-empty violation arrays —
+    # ~1/20th of the input width). Every table rule then reads the cached
+    # projection; the only second touch of an array column is the equality
+    # diagnosis re-fetch, which reads only hash-mismatched keys.
+
+    def _token_range_rules(self) -> list[Mdl.TokenRangeRule]:
+        return [r for r in self.ruleset.table_rules if isinstance(r, Mdl.TokenRangeRule)]
+
+    def _equality_rules(self) -> list[Mdl.ArrayEqualityRule]:
+        return [
+            r for r in self.ruleset.table_rules if isinstance(r, Mdl.ArrayEqualityRule)
+        ]
+
+    def _scalar_cols_needed(self) -> list[str]:
+        cols: set[str] = {self.subject_col}
+        for r in self.ruleset.table_rules:
+            if isinstance(r, Mdl.UniqueRule):
+                cols.update(r.keys)
+            elif isinstance(r, Mdl.ReferentialRule):
+                cols.add(r.column)
+            elif isinstance(r, (Mdl.DriftRule, Mdl.StatsThresholdRule)):
+                cols.update((r.column, r.group_col))
+            elif isinstance(r, Mdl.ArrayEqualityRule):
+                cols.add(r.key)
+        # "subject" is the reserved alias of the cast subject key
+        cols.discard("subject")
+        return sorted(c for c in cols if c in self.df.columns)
+
+    def _lifted_token_range(self, rule: Mdl.TokenRangeRule) -> Column:
+        """Token-range check as a row-scan violation array (vocab column is
+        broadcast-joined onto the scan as _vocab_{seq}).
+
+        Screen-then-detail: the native array_min/array_max bounds test (no
+        interpreted lambda, ~7x cheaper) decides whether the row can violate
+        at all; the index-bearing transform runs only on flagged rows. An
+        empty array or an unknown group (null vocab) screens to null —
+        nothing in range to violate — matching the join-based semantics."""
+        vocab = f"_vocab_{rule.seq}"
+        screen = F.coalesce(
+            (F.array_min(F.col(rule.column)) < 0)
+            | (F.array_max(F.col(rule.column)) >= F.col(vocab)),
+            F.lit(False),
+        )
+        bad_idx = F.expr(
+            f"array_min(filter(transform({rule.column}, (x, i) -> "
+            f"IF(x < 0 OR x >= {vocab}, i, NULL)), v -> v IS NOT NULL))"
+        )
+        reason = F.format_string(
+            "token out of range for %s at index %d",
+            F.col(rule.group_col),
+            bad_idx,
+        )
+        return F.when(screen, _rule_errs(rule, reason, bad_idx.isNotNull())).otherwise(
+            F.array().cast(_ROW_ERR_TYPE)
+        )
+
+    def fused_projection(self) -> DataFrame:
+        if self._fused is not None:
+            return self._fused
+        from pyspark.storagelevel import StorageLevel
+
+        base = self.df
+        for rule in self._token_range_rules():
+            dim = self._aux(rule.dim).select(
+                F.col(rule.dim_key).alias(rule.group_col),
+                F.col(rule.vocab_col).alias(f"_vocab_{rule.seq}"),
+            )
+            base = base.join(F.broadcast(dim), on=rule.group_col, how="left")
+
+        arrays = [_compile_row_rule(r, self.df.schema) for r in self.ruleset.row_rules]
+        arrays.extend(self._lifted_token_range(r) for r in self._token_range_rules())
+        viols = (
+            F.flatten(F.array(*arrays)) if arrays else F.array().cast(_ROW_ERR_TYPE)
+        )
+
+        cols = [
+            F.coalesce(F.col(self.subject_col).cast("string"), F.lit("<null>")).alias(
+                "subject"
+            ),
+            *[F.col(c) for c in self._scalar_cols_needed()],
+            viols.alias("_viols"),
+        ]
+        for rule in self._equality_rules():
+            cols.append(F.xxhash64(F.col(rule.column)).alias(f"_th_{rule.seq}"))
+            cols.append(F.size(F.col(rule.column)).alias(f"_ts_{rule.seq}"))
+        fused = base.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+        self._fused = fused
+        return fused
+
+    def release(self) -> None:
+        if self._fused is not None:
+            self._fused.unpersist()
+            self._fused = None
 
     # -- row rules: one fused scan ----------------------------------------
 
@@ -169,13 +277,14 @@ class CompiledPlan:
         return self.tables[name]
 
     def _table_violations(self, rule: Mdl.Rule) -> DataFrame:
-        df = self.df
-        subject = F.col(self.subject_col).cast("string").alias("subject")
+        # All scalar-column table rules read the cached narrow projection —
+        # never the wide base scan (see fused_projection()).
+        fused = self.fused_projection()
 
         if isinstance(rule, Mdl.UniqueRule):
             keys = [F.col(k) for k in rule.keys]
             dupes = (
-                df.groupBy(*keys)
+                fused.groupBy(*keys)
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .filter(F.col("_n") > 1)
             )
@@ -190,9 +299,9 @@ class CompiledPlan:
             dim = self._aux(rule.dim).select(
                 F.col(rule.dim_key).alias(rule.column)
             ).distinct()
-            missing = df.join(F.broadcast(dim), on=rule.column, how="left_anti")
+            missing = fused.join(F.broadcast(dim), on=rule.column, how="left_anti")
             return missing.select(
-                subject,
+                "subject",
                 F.lit(rule.rule_id).alias("rule_id"),
                 F.lit(rule.seq).alias("rule_seq"),
                 F.lit(f"unknown {rule.column}").alias("reason"),
@@ -200,7 +309,9 @@ class CompiledPlan:
 
         if isinstance(rule, Mdl.CompletenessRule):
             manifest = self._aux(rule.manifest).select(rule.key).distinct()
-            present = df.select(F.col(self.subject_col).alias(rule.key)).distinct()
+            present = fused.select(
+                F.col(self.subject_col).alias(rule.key)
+            ).distinct()
             # The manifest is the small side; the big side is reduced to its
             # distinct keys first so the anti-join shuffles keys, not rows.
             missing = manifest.join(present, on=rule.key, how="left_anti")
@@ -209,32 +320,6 @@ class CompiledPlan:
                 F.lit(rule.rule_id).alias("rule_id"),
                 F.lit(rule.seq).alias("rule_seq"),
                 F.lit("does not exist").alias("reason"),
-            )
-
-        if isinstance(rule, Mdl.TokenRangeRule):
-            dim = self._aux(rule.dim).select(
-                F.col(rule.dim_key).alias(rule.group_col),
-                F.col(rule.vocab_col).alias("_vocab"),
-            )
-            joined = df.join(F.broadcast(dim), on=rule.group_col, how="inner")
-            bad_idx = F.expr(
-                f"array_min(filter(transform({rule.column}, (x, i) -> "
-                f"IF(x < 0 OR x >= _vocab, i, NULL)), v -> v IS NOT NULL))"
-            )
-            flagged = joined.select(
-                subject,
-                F.col(rule.group_col).alias("_grp"),
-                bad_idx.alias("_idx"),
-            ).filter(F.col("_idx").isNotNull())
-            return flagged.select(
-                "subject",
-                F.lit(rule.rule_id).alias("rule_id"),
-                F.lit(rule.seq).alias("rule_seq"),
-                F.format_string(
-                    "token out of range for %s at index %d",
-                    F.col("_grp"),
-                    F.col("_idx"),
-                ).alias("reason"),
             )
 
         if isinstance(rule, Mdl.ArrayEqualityRule):
@@ -247,11 +332,13 @@ class CompiledPlan:
             # mismatch is always a real difference, so no false positives.
             # size() disambiguates null vs empty (xxhash64 maps both a null
             # array and some inputs to seed-derived values; size(null) is
-            # null so eqNullSafe catches null-vs-empty).
-            lh = df.select(
+            # null so eqNullSafe catches null-vs-empty). The subject-side
+            # hashes come from the cached projection (computed in the one
+            # pass over the arrays).
+            lh = fused.select(
                 F.col(rule.key),
-                F.xxhash64(F.col(rule.column)).alias("_ha"),
-                F.size(F.col(rule.column)).alias("_sa"),
+                F.col(f"_th_{rule.seq}").alias("_ha"),
+                F.col(f"_ts_{rule.seq}").alias("_sa"),
             )
             rh = self._aux(rule.reference).select(
                 F.col(rule.key),
@@ -279,13 +366,13 @@ class CompiledPlan:
             if n_bad <= 5_000_000:
                 # Rare-corruption path: both probe sides broadcast, so
                 # neither big table shuffles — two streaming scans total.
-                survivors = df.select(F.col(rule.key), F.col(rule.column)).join(
-                    F.broadcast(bad_keys), on=rule.key, how="inner"
-                )
+                survivors = self.df.select(
+                    F.col(rule.key), F.col(rule.column)
+                ).join(F.broadcast(bad_keys), on=rule.key, how="inner")
                 joined = ref.join(F.broadcast(survivors), on=rule.key, how="inner")
             else:  # pathological corruption: fall back to shuffled joins
                 joined = (
-                    df.select(F.col(rule.key), F.col(rule.column))
+                    self.df.select(F.col(rule.key), F.col(rule.column))
                     .join(bad_keys, on=rule.key, how="inner")
                     .join(ref, on=rule.key, how="inner")
                 )
@@ -304,7 +391,7 @@ class CompiledPlan:
 
         if isinstance(rule, Mdl.StatsThresholdRule):
             col = F.col(rule.column)
-            stats = self.df.groupBy(rule.group_col).agg(
+            stats = fused.groupBy(rule.group_col).agg(
                 F.count(col).alias("n"),
                 F.min(col).alias("min"),
                 F.max(col).alias("max"),
@@ -326,7 +413,7 @@ class CompiledPlan:
         from ..functions.sketches import bucketize, ks_statistic
 
         hist = (
-            self.df.groupBy(
+            self.fused_projection().groupBy(
                 F.col(rule.group_col).alias("grp"),
                 bucketize(F.col(rule.column), rule.lo, rule.hi, rule.buckets).alias(
                     "bucket"
@@ -371,8 +458,31 @@ class CompiledPlan:
     # -- full plan --------------------------------------------------------
 
     def violations(self) -> DataFrame:
-        parts = [self.row_violations()]
-        parts.extend(self._table_violations(r) for r in self.ruleset.table_rules)
+        """Canonical violations DataFrame from ONE pass over the wide scan.
+
+        Row rules + lifted token-range rules explode out of the cached
+        fused projection; every other table rule aggregates/joins the same
+        cached projection. Only the equality diagnosis re-fetch touches an
+        array column a second time, and only for hash-mismatched keys."""
+        has_table_rules = bool(self.ruleset.table_rules)
+        if not has_table_rules:
+            return self.row_violations()
+
+        fused = self.fused_projection()
+        row_part = fused.select(
+            "subject", F.explode("_viols").alias("v")
+        ).select(
+            "subject",
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.rule_seq").alias("rule_seq"),
+            F.col("v.reason").alias("reason"),
+        )
+        parts = [row_part]
+        parts.extend(
+            self._table_violations(r)
+            for r in self.ruleset.table_rules
+            if not isinstance(r, Mdl.TokenRangeRule)  # lifted into the scan
+        )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
