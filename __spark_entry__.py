@@ -329,6 +329,292 @@ def array_mismatch_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# the full engine pipeline, oracle-checked end to end: synthesize the
+# north-rule sequences table (deterministic, FIXTURES.md generators + all 7
+# corruption modes + a duplicate block) INSIDE the query, validate with the
+# complete rule set, and replicate generator+rules verbatim in DuckDB SQL.
+
+_SEQ_N = 100
+_SEQ_EVERY = 10
+_SEQ_EXTRA = 3
+
+SEQ_PIPELINE_RULES = r"""
+schema:
+  - type: column_spec
+    id: doc_id_format
+    column: doc_id
+    spec: {type: str, regex: "^doc-\\d{{8}}$"}
+  - type: column_spec
+    id: tokens_spec
+    column: tokens
+    spec: {type: array, items: {type: int, min: 0}}
+  - type: expr
+    id: ntok_consistency
+    assert: "n_tok = size(tokens)"
+    reason: "concat('n_tok mismatch: declared ', n_tok, ' got ', size(tokens))"
+  - type: not_empty
+    id: tokens_not_empty
+    column: tokens
+  - type: column_spec
+    id: ntok_bounds
+    column: n_tok
+    spec: {type: int, min: 1, max: 512}
+  - type: unique
+    id: doc_id_unique
+    keys: [doc_id]
+  - type: referential
+    id: source_known
+    column: source
+    dim: dim_sources
+    dim_key: source
+  - type: completeness
+    id: manifest_complete
+    manifest: expected_manifest
+    key: doc_id
+  - type: token_range
+    id: tokens_in_vocab
+    column: tokens
+    group_col: source
+    dim: dim_sources
+    dim_key: source
+    vocab_col: vocab_size
+  - type: array_equality
+    id: tokens_match_reference
+    column: tokens
+    reference: reference_tokens
+    key: doc_id
+"""
+
+
+def sequences_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fs_schema_validator_spark.sources import synth
+
+    seq = synth.with_duplicates(
+        synth.corrupt_sequences(synth.gen_sequences(spark, _SEQ_N), every=_SEQ_EVERY),
+        every=101,
+    )
+    tables = {
+        "dim_sources": synth.gen_dim_sources(spark),
+        "reference_tokens": synth.gen_reference_tokens(spark, _SEQ_N),
+        "expected_manifest": synth.gen_expected_manifest(spark, _SEQ_N, extra=_SEQ_EXTRA),
+    }
+    engine = ValidationEngine(subject_col="doc_id")
+    return engine.validate(seq, SEQ_PIPELINE_RULES, tables).sorted_violations()
+
+
+SEQ_PIPELINE_ORACLE = f"""
+WITH base AS (
+  SELECT i,
+         printf('doc-%08d', i) AS doc_id0,
+         CAST(1 + (i % 512) AS INT) AS n_tok0,
+         CASE i % 4 WHEN 0 THEN 'cc' WHEN 1 THEN 'wiki'
+                    WHEN 2 THEN 'code' ELSE 'books' END AS source0
+  FROM range(0, {_SEQ_N}) t(i)
+), vocabbed AS (
+  SELECT *, CASE source0 WHEN 'cc' THEN 50304 WHEN 'wiki' THEN 32000
+                         WHEN 'code' THEN 65536 ELSE 32000 END AS vocab
+  FROM base
+), pristine AS (
+  SELECT *, list_transform(range(0, n_tok0),
+                           j -> CAST((i * 31 + j * 7) % vocab AS INT)) AS toks
+  FROM vocabbed
+), corrupted AS (
+  SELECT i,
+         CASE WHEN i % {_SEQ_EVERY} = 5 THEN 'DOC_' || i ELSE doc_id0 END AS doc_id,
+         CASE i % {_SEQ_EVERY}
+           WHEN 0 THEN CAST([] AS INT[])
+           WHEN 2 THEN [CAST(-1 AS INT)] || list_slice(toks, 2, len(toks))
+           WHEN 3 THEN NULL
+           WHEN 6 THEN list_slice(toks, 1, len(toks) - 1)
+                       || [CAST((toks[len(toks)] + 1) % 32000 AS INT)]
+           ELSE toks END AS tokens,
+         CAST(CASE i % {_SEQ_EVERY} WHEN 0 THEN 0 WHEN 1 THEN n_tok0 + 1
+                                    ELSE n_tok0 END AS INT) AS n_tok,
+         CASE WHEN i % {_SEQ_EVERY} = 4 THEN 'bogus' ELSE source0 END AS source,
+         vocab
+  FROM pristine
+), seq AS (
+  SELECT * FROM corrupted
+  UNION ALL SELECT * FROM corrupted WHERE i % 101 = 7
+), ref AS (
+  SELECT doc_id0 AS doc_id, toks FROM pristine
+), manifest AS (
+  SELECT printf('doc-%08d', m) AS doc_id FROM range(0, {_SEQ_N + _SEQ_EXTRA}) t(m)
+)
+-- rule 0: doc_id regex
+SELECT doc_id AS subject, 'doc_id_format' AS rule_id, 0 AS rule_seq,
+       '`doc_id`: String should match pattern ''^doc-\\d{{8}}$''' AS reason
+FROM seq WHERE NOT regexp_matches(doc_id, '^doc-\\d{{8}}$')
+UNION ALL
+-- rule 1: tokens spec — null array
+SELECT doc_id, 'tokens_spec', 1, '`tokens`: Field required'
+FROM seq WHERE tokens IS NULL
+UNION ALL
+-- rule 1: tokens spec — per-element min bound (every failing index)
+SELECT s.doc_id, 'tokens_spec', 1,
+       '`tokens.' || (g.j - 1) || '`: Input should be greater than or equal to 0'
+FROM seq s, generate_series(1, 513) g(j)
+WHERE s.tokens IS NOT NULL AND s.tokens[g.j] < 0
+UNION ALL
+-- rule 2: n_tok consistency (null assert -> fallback reason)
+SELECT doc_id, 'ntok_consistency', 2,
+       CASE WHEN tokens IS NULL THEN 'assertion failed: ntok_consistency'
+            ELSE 'n_tok mismatch: declared ' || n_tok || ' got ' || len(tokens) END
+FROM seq WHERE tokens IS NULL OR n_tok != len(tokens)
+UNION ALL
+-- rule 3: not empty
+SELECT doc_id, 'tokens_not_empty', 3, '`tokens`: cannot be empty'
+FROM seq WHERE tokens IS NOT NULL AND len(tokens) = 0
+UNION ALL
+-- rule 4: n_tok bounds
+SELECT doc_id, 'ntok_bounds', 4,
+       '`n_tok`: Input should be greater than or equal to 1'
+FROM seq WHERE n_tok < 1
+UNION ALL
+-- rule 5: uniqueness
+SELECT doc_id, 'doc_id_unique', 5, 'duplicate key'
+FROM seq GROUP BY doc_id HAVING count(*) > 1
+UNION ALL
+-- rule 6: referential
+SELECT doc_id, 'source_known', 6, 'unknown source'
+FROM seq WHERE source NOT IN ('cc', 'wiki', 'code', 'books')
+UNION ALL
+-- rule 7: completeness (manifest keys absent from the table)
+SELECT m.doc_id, 'manifest_complete', 7, 'does not exist'
+FROM manifest m WHERE NOT EXISTS (SELECT 1 FROM seq s WHERE s.doc_id = m.doc_id)
+UNION ALL
+-- rule 8: token range (first offending index; unknown source -> no check)
+SELECT doc_id, 'tokens_in_vocab', 8,
+       'token out of range for ' || source || ' at index ' || CAST(bad AS VARCHAR)
+FROM (
+  SELECT s.doc_id, s.source, min(g.j - 1) AS bad
+  FROM seq s, generate_series(1, 513) g(j)
+  WHERE s.source IN ('cc', 'wiki', 'code', 'books')
+    AND (s.tokens[g.j] < 0 OR s.tokens[g.j] >= s.vocab)
+  GROUP BY s.doc_id, s.source
+)
+UNION ALL
+-- rule 9: token-array equality vs reference (first mismatch; null = empty;
+-- prefix-equal length mismatch reports min length)
+SELECT doc_id, 'tokens_match_reference', 9,
+       'token mismatch at index ' || CAST(bad AS VARCHAR)
+FROM (
+  SELECT s.doc_id, min(g.j - 1) AS bad
+  FROM seq s JOIN ref r USING (doc_id), generate_series(1, 513) g(j)
+  WHERE s.tokens[g.j] IS DISTINCT FROM r.toks[g.j]
+  GROUP BY s.doc_id
+)
+"""
+
+
+def violations_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 grouped-report contract: reasons per subject in rule order."""
+    docs = _corrupt_documents(_t(spark, sf_dir, "documents"))
+    res = ValidationEngine(subject_col="doc_id").validate(docs, FLAGSHIP_RULES)
+    grouped = res.grouped_by_subject()
+    return grouped.select(
+        "subject",
+        F.size("reasons").cast("bigint").alias("n_reasons"),
+        F.array_join("reasons", " | ").alias("reasons_str"),
+    )
+
+
+def stats_threshold_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatsThresholdRule through the engine: groups whose aggregated stats
+    break an assertion."""
+    li = _t(spark, sf_dir, "lineitem")
+    rules = """
+schema:
+  - type: stats_threshold
+    id: qty_mean_bound
+    column: l_quantity
+    group_col: l_returnflag
+    assert: "avg <= 25.45 and n > 0"
+"""
+    res = ValidationEngine(subject_col="l_orderkey").validate(li, rules)
+    return res.violations.select("subject", "rule_id", "reason")
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function extension (absent in the reference, SURVEY §2.5):
+    running order-value total per customer, deterministic tie-break."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+        F.row_number().over(w).cast("bigint").alias("order_rank"),
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30-minute gap per user
+    (lag + cumulative sum over an ordered window)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint").alias("session_id"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+
+
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per status (rank window + filter)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OUTPUT: ids a dedup pass drops (exact dups, keep min id)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    both = docs.unionByName(dupes)
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    return (
+        both.select("doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") > 1)
+        .select(F.col("doc_id").alias("dropped_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing (rows-only; binary payloads)
 
 
@@ -371,6 +657,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_violations": flagship_violations,
+        "sequences_validation": sequences_validation,
         "range_violations": range_violations,
         "multiple_of_violations": multiple_of_violations,
         "regex_violations": regex_violations,
@@ -395,6 +682,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_violations": embedding_dim_violations,
         "array_mismatch_index": array_mismatch_index,
         "multimodal_features": multimodal_features,
+        "violations_grouped": violations_grouped,
+        "stats_threshold_violations": stats_threshold_violations,
+        "window_running_total": window_running_total,
+        "sessionize_events": sessionize_events,
+        "topn_per_group": topn_per_group,
+        "dedup_keep_first": dedup_keep_first,
     }
 
 
@@ -409,6 +702,7 @@ _SHINGLES = (
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_violations": FLAGSHIP_ORACLE,
+        "sequences_validation": SEQ_PIPELINE_ORACLE,
         "range_violations": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
             "WHERE l_quantity > 45"
@@ -568,6 +862,54 @@ def oracle_sql() -> dict[str, str]:
             "FROM c, generate_series(1, 65) AS g(i) "
             "WHERE embedding[i] IS DISTINCT FROM corrupted[i] "
             "GROUP BY vec_id"
+        ),
+        "violations_grouped": (
+            f"WITH c AS ({_CORRUPT_DOCS_SQL}), v AS ({FLAGSHIP_ORACLE.replace('WITH c AS', 'WITH c2 AS').replace('FROM c', 'FROM c2')}) "
+            "SELECT subject, CAST(count(*) AS BIGINT) AS n_reasons, "
+            "string_agg(reason, ' | ' ORDER BY rule_seq) AS reasons_str "
+            "FROM v GROUP BY subject"
+        ),
+        "stats_threshold_violations": (
+            "SELECT CAST(l_returnflag AS VARCHAR) AS subject, "
+            "'qty_mean_bound' AS rule_id, "
+            "'stats assertion failed: avg <= 25.45 and n > 0' AS reason "
+            "FROM lineitem GROUP BY l_returnflag "
+            "HAVING NOT (avg(l_quantity) <= 25.45 AND count(*) > 0)"
+        ),
+        "window_running_total": (
+            "SELECT o_custkey, o_orderkey, "
+            "round(sum(o_totalprice) OVER w, 4) AS running_total, "
+            "CAST(row_number() OVER w AS BIGINT) AS order_rank "
+            "FROM orders WHERE o_custkey < 50 "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "sessionize_events": (
+            "WITH g AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+            "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "THEN 1 ELSE 0 END AS new_s "
+            "FROM events WHERE user_id < 20), "
+            "s AS (SELECT user_id, event_id, "
+            "CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS session_id FROM g) "
+            "SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM s GROUP BY user_id, session_id"
+        ),
+        "topn_per_group": (
+            "SELECT * FROM (SELECT o_orderstatus, o_orderkey, o_totalprice, "
+            "CAST(row_number() OVER (PARTITION BY o_orderstatus "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk "
+            "FROM orders) WHERE rk <= 3"
+        ),
+        "dedup_keep_first": (
+            "WITH u AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0) "
+            "SELECT doc_id AS dropped_id FROM (SELECT doc_id, row_number() OVER "
+            "(PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rk FROM u) "
+            "WHERE rk > 1"
         ),
         # minhash_lsh_pairs, simhash_sigs, ann_topk, multimodal_features:
         # approximate / hash-seeded / binary operators — rows-only checks.
