@@ -507,6 +507,30 @@ FROM (
 """
 
 
+def json_props_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict JSON-document validation (VARIANT-backed json_spec rule) over
+    the events.props JSON column: k must be an int in [0, 50], and every
+    97th row is corrupted to a string to exercise strict typing."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 97 == 0, F.lit('{"k": "oops"}')
+        ).otherwise(F.col("props")).alias("props"),
+    )
+    rules = """
+schema:
+  - type: json_spec
+    id: props_spec
+    column: props
+    spec:
+      type: object
+      attrs:
+        k: {type: int, min: 0, max: 50}
+"""
+    res = ValidationEngine(subject_col="event_id").validate(ev, rules)
+    return res.violations.select("subject", "rule_id", "reason")
+
+
 def violations_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 grouped-report contract: reasons per subject in rule order."""
     docs = _corrupt_documents(_t(spark, sf_dir, "documents"))
@@ -682,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_violations": embedding_dim_violations,
         "array_mismatch_index": array_mismatch_index,
         "multimodal_features": multimodal_features,
+        "json_props_validation": json_props_validation,
         "violations_grouped": violations_grouped,
         "stats_threshold_violations": stats_threshold_violations,
         "window_running_total": window_running_total,
@@ -862,6 +887,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM c, generate_series(1, 65) AS g(i) "
             "WHERE embedding[i] IS DISTINCT FROM corrupted[i] "
             "GROUP BY vec_id"
+        ),
+        "json_props_validation": (
+            "WITH e AS (SELECT event_id, CASE WHEN event_id % 97 = 0 "
+            "THEN '{\"k\": \"oops\"}' ELSE props END AS props FROM events) "
+            "SELECT CAST(event_id AS VARCHAR) AS subject, 'props_spec' AS rule_id, "
+            "'`k`: Input should be a valid integer' AS reason "
+            "FROM e WHERE json_type(props, '$.k') NOT IN ('BIGINT', 'UBIGINT') "
+            "UNION ALL "
+            "SELECT CAST(event_id AS VARCHAR), 'props_spec', "
+            "'`k`: Input should be less than or equal to 50' "
+            "FROM e WHERE json_type(props, '$.k') IN ('BIGINT', 'UBIGINT') "
+            "AND TRY_CAST(json_extract(props, '$.k') AS BIGINT) > 50"
         ),
         "violations_grouped": (
             f"WITH c AS ({_CORRUPT_DOCS_SQL}), v AS ({FLAGSHIP_ORACLE.replace('WITH c AS', 'WITH c2 AS').replace('FROM c', 'FROM c2')}) "

@@ -76,6 +76,18 @@ def _compile_row_rule(rule: Mdl.Rule, schema: T.StructType) -> Column:
                 render_reason(e.getField("path"), e.getField("msg")).alias("reason"),
             ),
         )
+    if isinstance(rule, Mdl.JsonSpecRule):
+        from .variant_json import json_column_violations
+
+        errs = json_column_violations(F.col(rule.column), rule.spec)
+        return F.transform(
+            errs,
+            lambda e: F.struct(
+                F.lit(rule.seq).alias("rule_seq"),
+                F.lit(rule.rule_id).alias("rule_id"),
+                render_reason(e.getField("path"), e.getField("msg")).alias("reason"),
+            ),
+        )
     if isinstance(rule, Mdl.RowSpecRule):
         checker = compile_checker(rule.spec, schema)
         errs = checker(F.struct(*[F.col(n) for n in schema.names]), F.lit(""))

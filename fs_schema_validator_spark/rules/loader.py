@@ -127,6 +127,10 @@ def _build_rule(raw: Mapping[str, Any], seq: int) -> Mdl.Rule:
             )
         if kind == "row_spec":
             return Mdl.RowSpecRule(rule_id, seq, spec=parse_spec(kwargs.pop("spec")), **kwargs)
+        if kind == "json_spec":
+            return Mdl.JsonSpecRule(
+                rule_id, seq, column=kwargs.pop("column"), spec=parse_spec(kwargs.pop("spec")), **kwargs
+            )
         if kind == "expr":
             return Mdl.ExprRule(
                 rule_id,

@@ -65,6 +65,18 @@ class ExprRule(RuleBase):
 
 
 @dataclass(frozen=True)
+class JsonSpecRule(RuleBase):
+    """Apply a value-constraint spec tree to a STRING column holding a JSON
+    document, with per-value strict typing via VARIANT — the direct analog
+    of the reference's JsonSchema validator (schemas/json.py:240-265).
+    Reasons render with reference path semantics: root errors as
+    "root object: ...", nested as "`a.b`: ..."."""
+
+    column: str
+    spec: Spec
+
+
+@dataclass(frozen=True)
 class NotEmptyRule(RuleBase):
     """Array/string/binary column must be non-empty unless ``allow_empty``
     (reference: FileSchema size>0, schemas/file.py:19-29, reason
@@ -157,7 +169,7 @@ class StatsThresholdRule(RuleBase):
     assert_sql: str
 
 
-RowRule = Union[ColumnSpecRule, RowSpecRule, ExprRule, NotEmptyRule]
+RowRule = Union[ColumnSpecRule, RowSpecRule, JsonSpecRule, ExprRule, NotEmptyRule]
 TableRule = Union[
     UniqueRule,
     ReferentialRule,
@@ -169,4 +181,4 @@ TableRule = Union[
 ]
 Rule = Union[RowRule, TableRule]
 
-ROW_RULE_TYPES = (ColumnSpecRule, RowSpecRule, ExprRule, NotEmptyRule)
+ROW_RULE_TYPES = (ColumnSpecRule, RowSpecRule, JsonSpecRule, ExprRule, NotEmptyRule)
