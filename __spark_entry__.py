@@ -670,6 +670,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# candidate+verify dedup pipelines and drift (oracle-matched scale paths)
+
+
+def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: MinHash+LSH candidates, exact-Jaccard verify.
+
+    Matches the O(n²) exact-Jaccard oracle because the planted near-dups sit
+    at Jaccard ≥ 0.9, where 16-band/4-row LSH recall is 1 − (1 − 0.9⁴)¹⁶ ≈
+    1 − 4e-8."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = dedup.minhash_signatures(docs, k=3, num_perm=64)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    return dedup.verify_candidate_pairs(docs, cand, k=3, threshold=0.5)
+
+
+def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = sketches.ks_vs_global(
+        docs, col="n_chars", group_col="lang", lo=0.0, hi=600.0, buckets=12
+    )
+    return out.select(F.col("grp").alias("lang"), "ks_d")
+
+
+def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k — the ANN baseline; ordering on the
+    rounded score + id so the ranking is engine-portable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = similarity.cosine_scores(emb, _query_vec(spark, sf_dir), digits=5)
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(10)
+
+
+def _plant_near_dup_embeddings(emb: DataFrame) -> DataFrame:
+    """Every 50th vector gets a near-identical copy (first component +0.05,
+    double math — mirrored verbatim in the oracle CTE)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("e"))
+    copies = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(F.col("e"), 1) + F.lit(0.05)),
+            F.slice(F.col("e"), 2, 63),
+        ).alias("e"),
+    )
+    return base.unionByName(copies)
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planted = _plant_near_dup_embeddings(_t(spark, sf_dir, "embeddings"))
+    return similarity.near_dup_pairs(
+        planted, dim=64, threshold=0.9, vec_col="e", id_col="vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract
 
 
@@ -713,6 +767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "topn_per_group": topn_per_group,
         "dedup_keep_first": dedup_keep_first,
+        "minhash_dedup_verified": minhash_dedup_verified,
+        "drift_ks": drift_ks,
+        "ann_topk_exact": ann_topk_exact,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
     }
 
 
@@ -947,6 +1005,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS dropped_id FROM (SELECT doc_id, row_number() OVER "
             "(PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rk FROM u) "
             "WHERE rk > 1"
+        ),
+        "minhash_dedup_verified": (
+            # LSH recall is 1 at the planted near-dups' Jaccard (≥0.9), so
+            # candidates+verify equals the exact all-pairs result.
+            f"WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents), "
+            f"s AS (SELECT doc_id, {_SHINGLES} AS sh FROM w), "
+            "d AS (SELECT doc_id, sh, len(sh) AS n FROM s) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "round(len(list_intersect(a.sh, b.sh)) / "
+            "CAST(a.n + b.n - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 4) "
+            "AS jaccard "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.sh, b.sh)) / "
+            "CAST(a.n + b.n - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5"
+        ),
+        "drift_ks": (
+            "WITH h AS (SELECT lang AS grp, least(11, greatest(0, "
+            "CAST(floor((n_chars - 0.0) / 50.0) AS INT))) AS bucket, "
+            "count(*) AS cnt FROM documents GROUP BY 1, 2), "
+            "t AS (SELECT grp, sum(cnt) AS total FROM h GROUP BY 1), "
+            "g AS (SELECT bucket, sum(cnt) AS gcnt FROM h GROUP BY 1), "
+            "p AS (SELECT bucket, gcnt / (SELECT CAST(count(*) AS DOUBLE) "
+            "FROM documents) AS p FROM g), "
+            "grid AS (SELECT t.grp, p.bucket, p.p FROM t, p), "
+            "q AS (SELECT h.grp, h.bucket, h.cnt / CAST(t.total AS DOUBLE) "
+            "AS q FROM h JOIN t USING (grp)), "
+            "j AS (SELECT grid.grp, grid.bucket, coalesce(q.q, 0.0) AS q, "
+            "grid.p FROM grid LEFT JOIN q ON grid.grp = q.grp "
+            "AND grid.bucket = q.bucket), "
+            "c AS (SELECT grp, sum(q) OVER (PARTITION BY grp ORDER BY bucket) "
+            "AS cq, sum(p) OVER (PARTITION BY grp ORDER BY bucket) AS cp "
+            "FROM j) "
+            "SELECT grp AS lang, round(max(abs(cq - cp)), 4) AS ks_d "
+            "FROM c GROUP BY grp"
+        ),
+        "ann_topk_exact": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+            "x AS (SELECT e.vec_id, i, "
+            "CAST(e.embedding[i] AS DOUBLE) AS a, CAST(q.qv[i] AS DOUBLE) AS b "
+            "FROM embeddings e, q, generate_series(1, 64) AS g(i)), "
+            "s AS (SELECT vec_id, round(sum(a * b) / "
+            "(sqrt(sum(a * a)) * sqrt(sum(b * b))), 5) AS cos "
+            "FROM x GROUP BY vec_id) "
+            "SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10"
+        ),
+        "embedding_near_dup_pairs": (
+            "WITH base AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+            "FROM embeddings), "
+            "planted AS (SELECT * FROM base UNION ALL "
+            "SELECT vec_id + 100000, list_concat([e[1] + 0.05], e[2:]) "
+            "FROM base WHERE vec_id % 50 = 0), "
+            "x AS (SELECT a.vec_id AS ia, b.vec_id AS ib, a.e AS ae, b.e AS be "
+            "FROM planted a JOIN planted b ON a.vec_id < b.vec_id), "
+            "y AS (SELECT ia, ib, sum(ae[i] * be[i]) AS dot, "
+            "sqrt(sum(ae[i] * ae[i])) AS na, sqrt(sum(be[i] * be[i])) AS nb "
+            "FROM x, generate_series(1, 64) AS g(i) GROUP BY ia, ib) "
+            "SELECT ia AS id_a, ib AS id_b, round(dot / (na * nb), 5) AS cos "
+            "FROM y WHERE round(dot / (na * nb), 5) >= 0.9"
         ),
         # minhash_lsh_pairs, simhash_sigs, ann_topk, multimodal_features:
         # approximate / hash-seeded / binary operators — rows-only checks.

@@ -47,8 +47,10 @@ HEADLINE = [
     "quality_scores",
     "lang_id_agreement",
     "dedup_exact_groups",
-    "minhash_lsh_pairs",
+    "minhash_dedup_verified",
+    "drift_ks",
     "cosine_scores_all",
+    "embedding_near_dup_pairs",
     "array_mismatch_index",
 ]
 

@@ -134,15 +134,16 @@ def minhash_mix_kernel(
     out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     nonempty = (lengths > 0) & validity
     if nonempty.any():
-        # splitmix64 constant stream
+        # splitmix64 constant stream (Python ints mod 2^64 — no overflow traps)
+        mask = (1 << 64) - 1
         consts = []
-        state = np.uint64(seed)
+        state = seed & mask
         for _ in range(2 * num_perm):
-            state = (state + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(~0)
+            state = (state + 0x9E3779B97F4A7C15) & mask
             z = state
-            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            consts.append(z ^ (z >> np.uint64(31)))
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+            consts.append(np.uint64(z ^ (z >> 31)))
         seg_ne = seg[nonempty]
         with np.errstate(over="ignore"):
             for p in range(num_perm):

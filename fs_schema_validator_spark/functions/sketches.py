@@ -106,6 +106,29 @@ def ks_statistic(
     )
 
 
+def ks_vs_global(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    buckets: int,
+    digits: int = 4,
+) -> DataFrame:
+    """(grp, ks_d) — sketch-based two-sample KS of each group's bucketed
+    distribution against the whole table's. The reference side is the
+    global histogram broadcast across groups (grps × buckets grid), so the
+    whole check is two aggregations over one scan plus a tiny window over
+    the grid — no sort of the raw data."""
+    hist = histogram(df, col, group_col, lo, hi, buckets)
+    totals = hist.groupBy("grp").agg(F.sum("cnt").alias("total"))
+    ghist = hist.groupBy("bucket").agg(F.sum("cnt").alias("gcnt"))
+    gtotal = float(df.count())
+    p = ghist.select("bucket", (F.col("gcnt") / F.lit(gtotal)).alias("p"))
+    grid = totals.select("grp").crossJoin(p)
+    return ks_statistic(hist, grid, digits=digits)
+
+
 def group_stats(df: DataFrame, col: str, group_col: str) -> DataFrame:
     """Canonical per-group single-pass stats block (exact, portable)."""
     c = F.col(col)

@@ -156,43 +156,93 @@ def lsh_candidate_pairs(
     self-join happens within (band, bucket) groups only. Returns distinct
     (doc_a, doc_b) with doc_a < doc_b.
 
-    The banded projection is cached before the self-join — otherwise both
-    join sides re-derive the full signature lineage (at cluster scale the
-    equivalent is materializing signatures to a table between the two
-    stages)."""
+    One shuffle total: explode to (band, bucket, doc_id), groupBy the
+    bucket key with collect_list, then expand each >1-occupancy bucket's
+    member list into ordered pairs with nested `transform`s (pure
+    expressions, no self-join, no cache). At 10^12 docs the shuffle volume
+    is one (16B key, id) record per doc per band, and the quadratic pair
+    expansion is confined to individual bucket groups, whose occupancy the
+    band width bounds. The bucket hash folds the band's `rows_per_band`
+    signature values as integers (xxhash64 varargs) — no string building."""
+    bucket_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                *[
+                    F.element_at(
+                        F.col("sig"), (b * rows_per_band + j + 1).cast("int")
+                    )
+                    for j in range(rows_per_band)
+                ]
+            ).alias("bucket"),
+        ),
+    )
     banded = signatures.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
+        "doc_id", F.explode(bucket_structs).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    groups = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.filter(
+                F.transform(
+                    F.col("ids"),
+                    lambda b, j: F.when(
+                        j > i, F.struct(a.alias("doc_a"), b.alias("doc_b"))
+                    ),
                 ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket").cache()
-    left = banded.alias("l")
-    right = banded.alias("r")
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
+        groups.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+def verify_candidate_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs — the second half of
+    the scale-path near-dup pipeline (LSH proposes, exact scoring disposes).
+
+    The quadratic exact score runs only on the candidate set, so total work
+    is O(candidates), not O(n²); at 10^12 docs the joins shuffle one
+    (id, shingle-set) record per *candidate participant*, not per doc."""
+    docs = df.select(F.col("doc_id"), shingles(text_col, k).alias("sh")).select(
+        "doc_id", "sh", F.size("sh").alias("n")
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    j = candidates.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.col("n_a") + F.col("n_b") - inter
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union.cast("double"), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -90,6 +90,87 @@ def hyperplane_signature(
     return sig
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    digits: int = 5,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: multi-band
+    random-hyperplane LSH proposes candidates, exact cosine (double math)
+    verifies them.
+
+    Signature = n_planes sign bits; a pair is a candidate if ANY of the
+    `bands` bit-bands matches (near-identical vectors agree on almost every
+    plane, so per-band miss probability is (θ/π)-small and banding drives
+    recall to ~1). Candidates come from one groupBy per band key —
+    shuffle keys are (band, chunk) ints, no self-join — and the exact
+    score join touches only candidate participants."""
+    bits_per_band = n_planes // bands
+    planes = _projection_matrix(dim, n_planes, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = hyperplane_signature(v, planes)
+    banded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(sig, i * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.chunk")
+    groups = (
+        banded.groupBy("band", "chunk")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.filter(
+                F.transform(
+                    F.col("ids"),
+                    lambda b, j: F.when(
+                        j > i, F.struct(a.alias("id_a"), b.alias("id_b"))
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    cand = (
+        groups.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    left = df.select(
+        F.col(id_col).alias("id_a"), v.alias("va")
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"), v.alias("vb")
+    )
+    scored = cand.join(left, "id_a").join(right, "id_b")
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        scored.select("id_a", "id_b", F.round(cos, digits).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query: list[float],

@@ -72,6 +72,60 @@ def test_minhash_lsh_recall(docs, strategy):
     assert (7, 2000) in cands
 
 
+def test_verify_candidate_pairs_filters_lsh_output(docs):
+    sigs = dedup.minhash_signatures(docs, k=3, num_perm=64)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.verify_candidate_pairs(docs, cand, k=3, threshold=0.5).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs_exact(docs, k=3, threshold=0.5).collect()
+    }
+    # candidates+verify reproduces the exact result on planted dupes
+    assert verified == exact
+
+
+def test_embedding_near_dup_pairs(spark):
+    import math
+
+    rows = []
+    for i in range(100):
+        rows.append((i, [math.sin(i * 1.7 + d * 0.9) for d in range(16)]))
+    # planted near-identical copies of vectors 3 and 42
+    for j, src in enumerate((3, 42)):
+        vec = [math.sin(src * 1.7 + d * 0.9) for d in range(16)]
+        vec[0] += 0.01
+        rows.append((1000 + j, vec))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = {
+        (r.id_a, r.id_b): r.cos
+        for r in similarity.near_dup_pairs(emb, dim=16, threshold=0.99).collect()
+    }
+    assert (3, 1000) in pairs and pairs[(3, 1000)] > 0.999
+    assert (42, 1001) in pairs and pairs[(42, 1001)] > 0.999
+    for (a, b) in pairs:
+        assert (a, b) in {(3, 1000), (42, 1001)} or pairs[(a, b)] >= 0.99
+
+
+def test_ks_vs_global_flags_shifted_group(spark):
+    from fs_schema_validator_spark.functions import sketches
+
+    rows = [(i, "steady", float(i % 100)) for i in range(2000)]
+    rows += [(10_000 + i, "shifted", float(400 + i % 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, grp_name string, v double")
+    out = {
+        r.grp: r.ks_d
+        for r in sketches.ks_vs_global(
+            df, col="v", group_col="grp_name", lo=0.0, hi=500.0, buckets=10
+        ).collect()
+    }
+    # each group is half the table shifted to opposite ends: D = 0.5 exactly
+    assert out["steady"] == pytest.approx(0.5)
+    assert out["shifted"] == pytest.approx(0.5)
+
+
 def test_simhash_near_dups_collide(docs):
     sigs = dedup.simhash_signatures(docs)
     cands = {
