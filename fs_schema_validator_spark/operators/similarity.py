@@ -94,43 +94,59 @@ def near_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.9,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 128,
+    bands: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
     digits: int = 5,
+    strategy: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale: multi-band
     random-hyperplane LSH proposes candidates, exact cosine (double math)
     verifies them.
 
-    Signature = n_planes sign bits; a pair is a candidate if ANY of the
-    `bands` bit-bands matches (near-identical vectors agree on almost every
-    plane, so per-band miss probability is (θ/π)-small and banding drives
-    recall to ~1). Candidates come from one groupBy per band key —
-    shuffle keys are (band, chunk) ints, no self-join — and the exact
-    score join touches only candidate participants."""
+    A pair is a candidate if ANY of the `bands` (n_planes/bands)-bit band
+    keys matches. Defaults (8 bands × 16 bits) make random collisions
+    negligible — an orthogonal pair matches a 16-bit band with p = 2^-16,
+    so expected false candidates ≈ N²·bands/2^17 — while a near-identical
+    pair (cos ≥ 0.999, plane-flip prob θ/π ≈ 0.014) matches a band with
+    p = (1−θ/π)^16 ≈ 0.79 and ALL-band miss probability (1−0.79)^8 ≈ 3e-6.
+    The earlier 4-bit-band layout collapsed 2k vectors into 16 buckets and
+    generated 540k candidate pairs; this layout generates ~hundreds.
+    Candidates come from one groupBy per band key — shuffle keys are
+    (band, chunk) ints, no self-join — and the exact score join touches
+    only candidate participants.
+
+    strategy="arrow" (default): band keys from one BLAS matmul per Arrow
+    batch (see hyperplane_band_chunks_arrow) — the HOF expression form does
+    not codegen and runs ~100x slower. strategy="sql": pure-expression
+    fallback (one ≤63-bit signature per band)."""
     bits_per_band = n_planes // bands
     planes = _projection_matrix(dim, n_planes, seed)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sig = hyperplane_signature(v, planes)
-    banded = df.select(
-        F.col(id_col),
-        F.explode(
+    if strategy == "arrow":
+        from ..functions.arrays import hyperplane_band_chunks_arrow
+
+        sigs = hyperplane_band_chunks_arrow(df, planes, bands, vec_col, id_col)
+    else:
+        if bits_per_band > 63:
+            raise ValueError("sql strategy supports at most 63 bits per band")
+        sigs = df.select(
+            F.col(id_col),
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(sig, i * bits_per_band)
-                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                        .alias("chunk"),
+                    hyperplane_signature(
+                        v, planes[i * bits_per_band : (i + 1) * bits_per_band]
                     )
                     for i in range(bands)
                 ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.chunk")
+            ).alias("chunks"),
+        )
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.col("chunks")).alias("band", "chunk"),
+    )
     groups = (
         banded.groupBy("band", "chunk")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
