@@ -155,17 +155,18 @@ def bench_sequences(spark, sf_dir: str) -> dict:
     total_tokens = seq.agg(F.sum(F.size("tokens"))).first()[0]
 
     # First pass pays whole-stage-codegen JIT compilation (~10s) which is
-    # irrelevant at production scale; report the steady-state pass as the
-    # headline and the cold pass alongside.
+    # irrelevant at production scale; report the median of three
+    # steady-state passes (single post-cold passes measured 4.7-10.6s on
+    # identical input — JIT/page-cache noise) with the cold pass alongside.
     timings = []
     n_viol = 0
-    for _ in range(2):
+    for _ in range(4):
         spark.catalog.clearCache()
         t0 = time.time()
         res = ValidationEngine(subject_col="doc_id").validate(seq, SEQ_RULES, tables)
         n_viol = res.violations.count()
         timings.append(time.time() - t0)
-    elapsed = timings[-1]
+    elapsed = sorted(timings[1:])[1]
     return {
         "seq_rows": n,
         "seq_total_tokens": int(total_tokens),
