@@ -669,6 +669,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.metadata_violations(feats, media)
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (every-10th frame of a synthetic
+    container); fully oracle-checked because the fake decode is
+    deterministic (md5-derived frame payloads)."""
+    from fs_schema_validator_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(
+            F.format_string(
+                "VID:%d:vid-%d",
+                (F.col("doc_id") % 30 + 1).cast("int"),
+                F.col("doc_id"),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    frames = multimodal.sample_frames(media, every_n=10)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.decode(F.col("frame_payload"), "utf-8").alias("frame"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # candidate+verify dedup pipelines and drift (oracle-matched scale paths)
 
@@ -767,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "topn_per_group": topn_per_group,
         "dedup_keep_first": dedup_keep_first,
+        "multimodal_frame_sample": multimodal_frame_sample,
         "minhash_dedup_verified": minhash_dedup_verified,
         "drift_ks": drift_ks,
         "ann_topk_exact": ann_topk_exact,
@@ -1005,6 +1032,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS dropped_id FROM (SELECT doc_id, row_number() OVER "
             "(PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rk FROM u) "
             "WHERE rk > 1"
+        ),
+        "multimodal_frame_sample": (
+            "WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            "'VID:' || (doc_id % 30 + 1) || ':vid-' || doc_id AS payload, "
+            "doc_id % 30 + 1 AS nf FROM documents) "
+            "SELECT media_id, CAST(i AS INT) AS frame_idx, "
+            "'FRM:' || i || ':' || md5(payload) AS frame "
+            "FROM m, generate_series(0, 29) AS g(i) "
+            "WHERE i < nf AND i % 10 = 0"
         ),
         "minhash_dedup_verified": (
             # LSH recall is 1 at the planted near-dups' Jaccard (≥0.9), so

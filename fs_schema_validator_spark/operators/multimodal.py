@@ -84,6 +84,81 @@ def extract_features(df: DataFrame, codec=FakeCodec) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id string, ok boolean, width int, height int, payload binary"
+)
+
+FRAME_SCHEMA = "media_id string, frame_idx int, frame_payload binary"
+
+
+def resize(
+    df: DataFrame, target_width: int, target_height: int, codec=FakeCodec
+) -> DataFrame:
+    """Resize decoded payloads to target dims via Arrow-batched mapInPandas.
+
+    The FakeCodec 'resize' re-emits the synthetic container with the target
+    dims and a deterministic payload hash (a real build swaps in
+    Pillow/libvips here — the Spark plumbing, schemas, and batch shape are
+    the tested part). Undecodable payloads pass through with ok=false so
+    downstream rules can flag them."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ok, out_payload = [], []
+            for p in pdf["payload"]:
+                d = codec.decode(p)
+                if d is None:
+                    out_ok.append(False)
+                    out_payload.append(None)
+                else:
+                    data = hashlib.md5(p).hexdigest().encode()
+                    out_ok.append(True)
+                    out_payload.append(
+                        b"IMG:%dx%d:%s" % (target_width, target_height, data)
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ok": out_ok,
+                    "width": target_width,
+                    "height": target_height,
+                    "payload": out_payload,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, codec=FakeCodec) -> DataFrame:
+    """Sample every Nth frame from video payloads (synthetic container
+    ``b"VID:<n_frames>:<data>"``) — a one-to-many mapInPandas: each media
+    row fans out to its sampled frames, so downstream per-frame feature
+    extraction parallelizes over frames, not videos. A real build decodes
+    with ffmpeg; the deterministic fake derives each frame payload from
+    (payload-hash, frame_idx)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or not p.startswith(b"VID:"):
+                    continue
+                try:
+                    n_frames = int(p.split(b":", 2)[1])
+                except (ValueError, IndexError):
+                    continue
+                base = hashlib.md5(p).hexdigest().encode()
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    payloads.append(b"FRM:%d:%s" % (i, base))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def metadata_violations(features: DataFrame, media: DataFrame) -> DataFrame:
     """Declared-vs-actual checks on the decoded metadata (format/magic
     analog: declared dims must match decoded dims; undecodable payloads are

@@ -202,6 +202,38 @@ def test_multimodal_declared_vs_actual(spark):
     assert violations["m4"] == "file does not contain a valid image"
 
 
+def test_multimodal_resize(spark):
+    media = spark.createDataFrame(
+        [
+            ("m1", b"IMG:4x3:data", "image", 4, 3),
+            ("m2", b"NOT AN IMAGE", "image", 8, 8),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in multimodal.resize(media, 32, 24).collect()}
+    assert out["m1"].ok and (out["m1"].width, out["m1"].height) == (32, 24)
+    assert bytes(out["m1"].payload).startswith(b"IMG:32x24:")
+    assert not out["m2"].ok and out["m2"].payload is None
+
+
+def test_multimodal_frame_sampling(spark):
+    media = spark.createDataFrame(
+        [("v1", b"VID:25:data"), ("v2", b"VID:7:x"), ("v3", b"IMG:4x3:d")],
+        "media_id string, payload binary",
+    )
+    frames = multimodal.sample_frames(media, every_n=10).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    # every 10th frame; non-video payloads are skipped entirely
+    assert sorted(by_media["v1"]) == [0, 10, 20]
+    assert sorted(by_media["v2"]) == [0]
+    assert "v3" not in by_media
+    # frame payloads are deterministic functions of (payload, frame_idx)
+    f0 = [bytes(r.frame_payload) for r in frames if r.media_id == "v1" and r.frame_idx == 10]
+    assert f0[0].startswith(b"FRM:10:")
+
+
 def test_salted_collect_list_matches_plain(spark):
     from fs_schema_validator_spark.sources import synth
 
