@@ -195,19 +195,32 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    probes: int = 9,
 ) -> DataFrame:
-    """Approximate top-k: score only rows in the query's LSH bucket.
+    """Approximate top-k: score only rows in the query's LSH bucket plus
+    its `probes-1` Hamming-distance-1 neighbor buckets (multi-probe LSH —
+    a vector just across one hyperplane lands one bit-flip away, so
+    probing neighbors recovers most of the recall lost to quantization at
+    ~probes/2^n_planes of the corpus scanned).
 
-    With B = 2^n_planes buckets the candidate set is ~N/B of the corpus;
+    With B = 2^n_planes buckets the candidate set is ~N·probes/B;
     partition pruning applies if the table is written bucketed by the
-    signature (the intended layout at scale)."""
+    signature (the intended layout at scale): the IN-list filter on the
+    bucket id prunes file groups before the scan."""
     dim = len(query)
     planes = _projection_matrix(dim, n_planes, seed)
     qsig = 0
+    margins = []
     for i, plane in enumerate(planes):
-        if sum(a * b for a, b in zip(query, plane)) >= 0:
+        d = sum(a * b for a, b in zip(query, plane))
+        margins.append((abs(d), i))
+        if d >= 0:
             qsig |= 1 << i
+    # probe order: flip the planes the query is closest to first
+    probe_sigs = [qsig] + [
+        qsig ^ (1 << i) for _, i in sorted(margins)[: max(0, probes - 1)]
+    ]
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucketed = df.withColumn("_sig", hyperplane_signature(v, planes))
-    candidates = bucketed.filter(F.col("_sig") == qsig)
+    candidates = bucketed.filter(F.col("_sig").isin(probe_sigs))
     return topk_cosine(candidates, query, k, vec_col, id_col)
