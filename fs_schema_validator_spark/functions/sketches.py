@@ -49,13 +49,17 @@ def psi_vs_global(
     """(group, psi) — population-stability index of each group's histogram
     against the whole-table distribution. Zero-count buckets are clamped to EPS
     (standard PSI practice) so the log stays finite."""
-    hist = histogram(df, col, group_col, lo, hi, buckets)
+    # One scan of df: the histogram (groups × buckets rows — tiny) is
+    # cached and every downstream aggregate derives from it, including the
+    # grand total (Σcnt ≡ count(*)) — a naive df.count() would be a second
+    # full scan.
+    hist = histogram(df, col, group_col, lo, hi, buckets).cache()
+    gtotal = float(hist.agg(F.sum("cnt")).first()[0])
     totals = hist.groupBy("grp").agg(F.sum("cnt").alias("total"))
     q = hist.join(totals, "grp").select(
         "grp", "bucket", (F.col("cnt") / F.col("total")).alias("q")
     )
     ghist = hist.groupBy("bucket").agg(F.sum("cnt").alias("gcnt"))
-    gtotal = float(df.count())
     p = ghist.select("bucket", (F.col("gcnt") / F.lit(gtotal)).alias("p"))
     joined = q.join(p, "bucket", "left").select(
         "grp",
@@ -119,11 +123,14 @@ def ks_vs_global(
     distribution against the whole table's. The reference side is the
     global histogram broadcast across groups (grps × buckets grid), so the
     whole check is two aggregations over one scan plus a tiny window over
-    the grid — no sort of the raw data."""
-    hist = histogram(df, col, group_col, lo, hi, buckets)
+    the grid — no sort of the raw data.
+
+    Like psi_vs_global, the histogram is cached so the table is scanned
+    exactly once; the grand total comes from the histogram itself."""
+    hist = histogram(df, col, group_col, lo, hi, buckets).cache()
+    gtotal = float(hist.agg(F.sum("cnt")).first()[0])
     totals = hist.groupBy("grp").agg(F.sum("cnt").alias("total"))
     ghist = hist.groupBy("bucket").agg(F.sum("cnt").alias("gcnt"))
-    gtotal = float(df.count())
     p = ghist.select("bucket", (F.col("gcnt") / F.lit(gtotal)).alias("p"))
     grid = totals.select("grp").crossJoin(p)
     return ks_statistic(hist, grid, digits=digits)

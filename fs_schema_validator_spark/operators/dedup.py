@@ -219,10 +219,25 @@ def verify_candidate_pairs(
 
     The quadratic exact score runs only on the candidate set, so total work
     is O(candidates), not O(n²); at 10^12 docs the joins shuffle one
-    (id, shingle-set) record per *candidate participant*, not per doc."""
-    docs = df.select(F.col("doc_id"), shingles(text_col, k).alias("sh")).select(
-        "doc_id", "sh", F.size("sh").alias("n")
+    (id, shingle-set) record per *candidate participant*, not per doc.
+    Shingle sets are computed ABOVE a broadcast semi-join with the
+    participant id set, so the expensive shingling projection runs only on
+    candidate participants — not on every document twice (which is what a
+    naive join against a pre-shingled projection compiles to)."""
+    # the candidate set is consumed twice (participant ids + the score
+    # join); cache it so the LSH lineage — a full signature pass over the
+    # corpus — runs once (at cluster scale: materialize candidates to a
+    # table between the two stages)
+    candidates = candidates.cache()
+    ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
+    participants = df.join(F.broadcast(ids), "doc_id", "left_semi")
+    docs = participants.select(
+        F.col("doc_id"), shingles(text_col, k).alias("sh")
+    ).select("doc_id", "sh", F.size("sh").alias("n"))
     a = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sh_a"),

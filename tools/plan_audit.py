@@ -150,6 +150,31 @@ def main() -> None:
         )
     )
 
+    # near-dup pipelines: candidate generation is one groupBy (no
+    # self-join); verify joins are broadcast (candidate side is tiny)
+    sections.append(
+        audit(
+            "minhash_dedup_verified (LSH candidates + exact verify)",
+            qs["minhash_dedup_verified"](spark, SF_DIR),
+            {"has_broadcast": True},
+        )
+    )
+    sections.append(
+        audit(
+            "embedding_near_dup_pairs (hyperplane LSH + cosine verify)",
+            qs["embedding_near_dup_pairs"](spark, SF_DIR),
+            {"has_broadcast": True},
+        )
+    )
+    # drift: two aggregations over one scan + tiny grid window
+    sections.append(
+        audit(
+            "drift_ks (bucketed KS vs global)",
+            qs["drift_ks"](spark, SF_DIR),
+            {"schema_excludes": "text", "has_broadcast": True},
+        )
+    )
+
     md = ["# PLANS — physical-plan audit\n",
           "Generated by `tools/plan_audit.py` at sf0.01 / n=1000 synth.",
           "Expectations are asserted; FAIL lines are plan regressions.\n"]
