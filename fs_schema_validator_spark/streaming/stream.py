@@ -15,14 +15,28 @@ batch after failure is idempotent because the manifest keys on
 
 from __future__ import annotations
 
-from typing import Callable, Mapping
+from typing import Callable, Iterator, Mapping
 
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..engine import ValidationEngine
 from ..rules.loader import RuleSet
+
+
+def _row_violation_count(df: DataFrame, ruleset: RuleSet) -> Column:
+    """Per-row violation count from the ROW rules only — a stateless
+    expression, legal inside native streaming operators (table rules need
+    joins/aggs and run via foreachBatch instead)."""
+    from ..compiler.plan import _ROW_ERR_TYPE, _compile_row_rule
+
+    arrays = [_compile_row_rule(r, df.schema) for r in ruleset.row_rules]
+    viols = (
+        F.flatten(F.array(*arrays)) if arrays else F.array().cast(_ROW_ERR_TYPE)
+    )
+    return F.size(viols)
 
 
 def validate_stream(
@@ -67,3 +81,88 @@ def validate_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_violation_counts(
+    stream_df: DataFrame,
+    rules_yaml: str,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Watermarked per-window violation counts — the late-data path.
+
+    Row rules compile to stateless Column predicates, so the whole thing is
+    a native streaming windowed aggregation: rows later than `watermark`
+    past the max event time are dropped, windows emit once the watermark
+    passes them, and state is bounded by (open windows × groups). Returns
+    the streaming DataFrame; the caller attaches the sink."""
+    ruleset = RuleSet.from_yaml(rules_yaml)
+    nv = _row_violation_count(stream_df, ruleset)
+    group = [F.col(group_col)] if group_col else []
+    flagged = stream_df.select(
+        F.col(ts_col).alias("_ts"), *group, nv.alias("_nv")
+    )
+    keys = [F.window(F.col("_ts"), window_duration).alias("window"), *group]
+    return (
+        flagged.withWatermark("_ts", watermark)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_nv")).alias("n_violations"),
+            F.sum((F.col("_nv") > 0).cast("bigint")).alias("n_bad_rows"),
+        )
+    )
+
+
+def stateful_violation_rate(
+    stream_df: DataFrame,
+    rules_yaml: str,
+    group_col: str = "source",
+    alert_rate: float = 0.1,
+) -> DataFrame:
+    """Running violation rate per group with an alert flag — a custom
+    stateful operator via ``applyInPandasWithState``.
+
+    State per group is two counters (rows seen, bad rows) carried across
+    micro-batches; each batch updates them from Arrow-batched pandas
+    frames and emits the cumulative rate. This is the shape for stateful
+    checks the built-in windowed aggs can't express (cross-batch
+    cumulative metrics, session-style logic, kill-switch thresholds)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ruleset = RuleSet.from_yaml(rules_yaml)
+    nv = _row_violation_count(stream_df, ruleset)
+    flagged = stream_df.select(F.col(group_col).alias("_g"), nv.alias("_nv"))
+    out_schema = (
+        f"{group_col} string, n_rows bigint, n_bad bigint, "
+        "rate double, alert boolean"
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, bad = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            bad += int((pdf["_nv"] > 0).sum())
+        state.update((n, bad))
+        rate = (bad / n) if n else 0.0
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_rows": [n],
+                "n_bad": [bad],
+                "rate": [rate],
+                "alert": [rate >= alert_rate],
+            }
+        )
+
+    return flagged.groupBy("_g").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n bigint, bad bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
