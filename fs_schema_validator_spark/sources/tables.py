@@ -47,3 +47,27 @@ def current_snapshot_id(spark: SparkSession, ref: str) -> str:
         f"SELECT snapshot_id FROM {ref}.snapshots ORDER BY committed_at DESC LIMIT 1"
     ).first()
     return str(row[0]) if row else "-"
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    keys: list[str],
+    buckets: int = 64,
+    sort: bool = True,
+) -> None:
+    """Write `df` as a bucketed (and bucket-sorted) managed table.
+
+    Bucketing is the shuffle eliminator for the engine's recurring joins:
+    when both `sequences` and `reference_tokens` are bucketed (and sorted)
+    by `doc_id` with the same bucket count, the per-row equality join
+    compiles to a sort-merge join with NO Exchange on either side — each
+    task zips bucket i with bucket i. At 10^12 rows that converts the
+    largest shuffle in the pipeline (one narrow record per row) into a
+    co-located scan. The Iceberg equivalent is a `bucket(N, doc_id)`
+    partition transform; this writer is the session-catalog form the
+    sandbox can execute and test."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(name)

@@ -293,3 +293,32 @@ schema:
     rows = res.violations.collect()
     assert [r.subject for r in rows] == ["wiki"]
     assert "KS" in rows[0].reason
+
+
+def test_bucketed_equality_join_has_no_exchange(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from fs_schema_validator_spark.sources import synth, tables
+
+    seq = synth.gen_sequences(spark, 200)
+    ref = seq.select("doc_id", "tokens")
+    tables.write_bucketed(seq, "bkt_sequences", ["doc_id"], buckets=4)
+    tables.write_bucketed(ref, "bkt_reference", ["doc_id"], buckets=4)
+    try:
+        a = spark.table("bkt_sequences")
+        b = spark.table("bkt_reference").withColumnRenamed("tokens", "ref_tokens")
+        # merge hint: at test scale AQE would broadcast instead; production
+        # reference side is far past the broadcast threshold
+        joined = a.join(b.hint("merge"), "doc_id")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain(mode="formatted")
+        plan = buf.getvalue()
+        # co-located bucketed join: sort-merge with zero shuffles
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 200
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_sequences")
+        spark.sql("DROP TABLE IF EXISTS bkt_reference")
