@@ -236,6 +236,14 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.subword_token_count(_t(spark, sf_dir, "documents"))
+
+
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.rolling_hashes(_t(spark, sf_dir, "documents"), k=8)
+
+
 # ---------------------------------------------------------------------------
 # dedup operators
 
@@ -776,6 +784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": quality_scores,
         "lang_id_agreement": lang_id_agreement,
         "doc_fingerprints": doc_fingerprints,
+        "subword_token_counts": subword_token_counts,
+        "rolling_fingerprints": rolling_fingerprints,
         "dedup_exact_groups": dedup_exact_groups,
         "prefix_dup_groups": prefix_dup_groups,
         "jaccard_pairs": jaccard_pairs,
@@ -916,6 +926,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_fingerprints": (
             "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents"
+        ),
+        "subword_token_counts": (
+            r"WITH t AS (SELECT doc_id, regexp_extract_all(text, "
+            r"'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+"
+            r"| ?[^\sA-Za-z0-9]+|\s+') AS toks FROM documents) "
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_subwords, "
+            "CAST(len(list_filter(toks, x -> regexp_matches(x, "
+            "'^ ?[A-Za-z]+$'))) AS BIGINT) AS n_alpha, "
+            "CAST(len(list_filter(toks, x -> regexp_matches(x, "
+            "'^ ?[0-9]+$'))) AS BIGINT) AS n_numeric FROM t"
+        ),
+        "rolling_fingerprints": (
+            "WITH c AS (SELECT doc_id, list_transform(list_filter("
+            "string_split_regex(text, ''), x -> x != ''), x -> "
+            "CAST(ascii(x) AS BIGINT)) AS codes FROM documents), "
+            "w AS (SELECT doc_id, codes, len(codes) AS n, "
+            "list_reduce(list_prepend(CAST(7 AS BIGINT), codes), "
+            "(h, x) -> (h * 31 + x) % 2147483647) AS rhash FROM c) "
+            "SELECT doc_id, rhash, CASE WHEN n < 8 THEN rhash ELSE "
+            "list_min(list_transform(range(1, n - 6), i -> "
+            "list_reduce(list_prepend(CAST(7 AS BIGINT), codes[i:i+7]), "
+            "(h, x) -> (h * 31 + x) % 2147483647))) END AS min_kgram_hash "
+            "FROM w"
         ),
         "dedup_exact_groups": (
             "WITH u AS (SELECT doc_id, text FROM documents UNION ALL "

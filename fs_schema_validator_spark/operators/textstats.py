@@ -103,3 +103,70 @@ def fingerprint(df: DataFrame, text_col: str = "text", prefix_words: int | None 
             F.slice(words(F.lower(F.col(text_col))), 1, prefix_words), " "
         )
     return df.select("doc_id", F.md5(basis).alias("fingerprint"))
+
+
+# GPT-2-style pretokenizer pattern (simplified: no unicode categories —
+# ASCII classes keep it portable across regex engines). Matches
+# contractions, space-prefixed letter runs, digit runs, punctuation runs,
+# and whitespace — the standard BPE pre-split shape.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def subword_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_subwords, n_alpha, n_numeric) — BPE-ish regex token
+    counting (the pre-tokenization count a byte-pair encoder would see),
+    alongside the whitespace count in ``token_count``. Pure regexp
+    expressions — runs in codegen, no UDF."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_subwords"),
+        F.size(F.filter(toks, lambda t: t.rlike(r"^ ?[A-Za-z]+$")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(F.filter(toks, lambda t: t.rlike(r"^ ?[0-9]+$")))
+        .cast("bigint")
+        .alias("n_numeric"),
+    )
+
+
+_RH_MOD = 2147483647  # 2^31 - 1: h*31 + c stays far below bigint overflow
+_RH_SEED = 7
+
+
+def _poly_hash(codes: Column) -> Column:
+    return F.aggregate(
+        codes,
+        F.lit(_RH_SEED).cast("bigint"),
+        lambda h, c: (h * 31 + c) % _RH_MOD,
+    )
+
+
+def rolling_hashes(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """(doc_id, rhash, min_kgram_hash) — Rabin-Karp rolling-hash
+    fingerprints: the whole-document polynomial hash (base 31 mod 2^31-1
+    over character codes) and the minimum k-char-gram hash (a winnowing-
+    style content fingerprint that survives prefix/suffix edits).
+
+    The char-code array is bound once as a lambda variable (1-element-array
+    trick) so CollapseProject cannot inline it into each consumer. Docs
+    shorter than k fall back to the whole-document hash."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
+
+    def both(cs: Column) -> Column:
+        n = F.size(cs)
+        whole = _poly_hash(cs)
+        kgrams = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: _poly_hash(F.slice(cs, i, k)),
+        )
+        mink = F.when(n < k, whole).otherwise(F.array_min(kgrams))
+        return F.struct(whole.alias("rhash"), mink.alias("min_kgram_hash"))
+
+    packed = F.element_at(F.transform(F.array(codes), both), 1)
+    return df.select(
+        "doc_id",
+        packed["rhash"].alias("rhash"),
+        packed["min_kgram_hash"].alias("min_kgram_hash"),
+    )

@@ -322,3 +322,31 @@ def test_bucketed_equality_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_sequences")
         spark.sql("DROP TABLE IF EXISTS bkt_reference")
+
+
+def test_subword_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "It's 42 degrees, really!"), (2, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in textstats.subword_token_count(df).collect()}
+    # It | 's | _42 | _degrees | , | _really | !
+    assert out[1].n_subwords == 7
+    assert out[1].n_alpha == 3  # It, degrees, really ('s is a contraction)
+    assert out[1].n_numeric == 1
+    assert out[2].n_subwords == 0
+
+
+def test_rolling_hashes(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "XXabcdefghij"), (3, "ab"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in textstats.rolling_hashes(df, k=8).collect()}
+    # the min 8-gram fingerprint survives a prefix edit; the whole-doc
+    # polynomial hash does not
+    assert out[1].min_kgram_hash == out[2].min_kgram_hash
+    assert out[1].rhash != out[2].rhash
+    # short docs fall back to the whole-document hash
+    assert out[3].min_kgram_hash == out[3].rhash
+    assert out[4].rhash == 7  # empty text -> seed
