@@ -1066,6 +1066,14 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rk FROM u) "
             "WHERE rk > 1"
         ),
+        "multimodal_features": (
+            # the fake codec is deterministic: declared dims equal decoded
+            # dims by construction, so the only violations are the planted
+            # undecodable payloads (doc_id % 31 == 0)
+            "SELECT CAST(doc_id AS VARCHAR) AS subject, "
+            "'file does not contain a valid image' AS reason "
+            "FROM documents WHERE doc_id % 31 = 0"
+        ),
         "multimodal_frame_sample": (
             "WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
             "'VID:' || (doc_id % 30 + 1) || ':vid-' || doc_id AS payload, "
@@ -1134,6 +1142,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ia AS id_a, ib AS id_b, round(dot / (na * nb), 5) AS cos "
             "FROM y WHERE round(dot / (na * nb), 5) >= 0.9"
         ),
-        # minhash_lsh_pairs, simhash_sigs, ann_topk, multimodal_features:
-        # approximate / hash-seeded / binary operators — rows-only checks.
+        # minhash_lsh_pairs, simhash_sigs, ann_topk: hash-seeded
+        # approximate operators — rows-only checks; each has an
+        # oracle-matched exact sibling (minhash_dedup_verified,
+        # ann_topk_exact).
     }
