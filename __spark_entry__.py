@@ -793,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sigs": simhash_sigs,
         "cosine_scores_all": cosine_scores_all,
         "ann_topk": ann_topk,
+        "ann_topk_ivf": ann_topk_ivf,
         "embedding_dim_violations": embedding_dim_violations,
         "array_mismatch_index": array_mismatch_index,
         "multimodal_features": multimodal_features,
@@ -1142,8 +1143,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ia AS id_a, ib AS id_b, round(dot / (na * nb), 5) AS cos "
             "FROM y WHERE round(dot / (na * nb), 5) >= 0.9"
         ),
-        # minhash_lsh_pairs, simhash_sigs, ann_topk: hash-seeded
-        # approximate operators — rows-only checks; each has an
-        # oracle-matched exact sibling (minhash_dedup_verified,
-        # ann_topk_exact).
+        # minhash_lsh_pairs, simhash_sigs, ann_topk, ann_topk_ivf:
+        # hash-seeded / quantized approximate operators — rows-only
+        # checks; each has an oracle-matched exact sibling
+        # (minhash_dedup_verified, ann_topk_exact).
     }
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, probes=4
+    )

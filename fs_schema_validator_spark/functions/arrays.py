@@ -236,3 +236,41 @@ def cosine_similarity(a, b):
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
     return dot / (na * nb)
+
+
+def ivf_assign_arrow(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell) IVF coarse-quantizer assignment: argmax cosine against the
+    centroid matrix, one BLAS matmul per Arrow batch (rows×dim @
+    dim×n_centroids on L2-normalized operands).
+
+    The centroid matrix is tiny (n_centroids × dim) and ships to workers
+    inside the serialized kernel closure — the moral equivalent of a
+    broadcast variable."""
+    cn = centroids.astype(np.float64)
+    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    dim = cn.shape[1]
+    id_field = df.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, cell int"
+    src = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            arr = batch.column("_v")
+            starts, lengths, values, validity = _list_views(arr)
+            mat = values.astype(np.float64, copy=False)[
+                starts[:, None] + np.arange(dim)
+            ]
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cell = np.argmax((mat / norms) @ cn.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), pa.array(cell, type=pa.int32())],
+                names=[id_col, "cell"],
+            )
+
+    return src.mapInArrow(compute, out_schema)

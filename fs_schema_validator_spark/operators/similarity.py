@@ -170,11 +170,20 @@ def near_dup_pairs(
         groups.select(F.explode(pair_expr).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
+        # consumed twice (participant ids + the score join): cache so the
+        # signature pass over the corpus runs once
+        .cache()
     )
-    left = df.select(
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    participants = df.join(F.broadcast(ids), id_col, "left_semi")
+    left = participants.select(
         F.col(id_col).alias("id_a"), v.alias("va")
     )
-    right = df.select(
+    right = participants.select(
         F.col(id_col).alias("id_b"), v.alias("vb")
     )
     scored = cand.join(left, "id_a").join(right, "id_b")
@@ -223,4 +232,44 @@ def lsh_bucketed_topk(
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucketed = df.withColumn("_sig", hyperplane_signature(v, planes))
     candidates = bucketed.filter(F.col("_sig").isin(probe_sigs))
+    return topk_cosine(candidates, query, k, vec_col, id_col)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    probes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Centroids are a deterministic sample (the first `n_centroids` rows by
+    id — at production scale, k-means trained offline and stored); every
+    vector is assigned to its nearest centroid by one Arrow matmul
+    (ivf_assign_arrow), and the query scans only the `probes` cells whose
+    centroids are closest to it — ~probes/n_centroids of the corpus, with
+    partition pruning if the table is written partitioned by cell.
+
+    The deterministic-sample quantizer keeps the operator reproducible
+    (testable against exact top-k); swap the centroid source for trained
+    means without touching the plan."""
+    import numpy as np
+
+    from ..functions.arrays import ivf_assign_arrow
+
+    cent_rows = (
+        df.orderBy(F.col(id_col)).limit(n_centroids).select(vec_col).collect()
+    )
+    centroids = np.asarray([[float(x) for x in r[0]] for r in cent_rows])
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:probes]]
+
+    assigned = ivf_assign_arrow(df, centroids, vec_col, id_col)
+    in_cells = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col)
+    candidates = df.join(F.broadcast(in_cells), id_col, "left_semi")
     return topk_cosine(candidates, query, k, vec_col, id_col)

@@ -350,3 +350,37 @@ def test_rolling_hashes(spark):
     # short docs fall back to the whole-document hash
     assert out[3].min_kgram_hash == out[3].rhash
     assert out[4].rhash == 7  # empty text -> seed
+
+
+def test_ivf_topk_on_clustered_data(spark):
+    import math
+
+    # 8 well-separated clusters of 25 vectors each; cluster centers are the
+    # first row of each cluster, so the deterministic-sample quantizer
+    # (first n_centroids rows by id) picks one representative per cluster
+    rows = []
+    for c in range(8):
+        center = [math.sin(c * 2.3 + d) * 5 for d in range(8)]
+        for j in range(25):
+            jitter = [math.sin(c * 31 + j * 7 + d) * 0.1 for d in range(8)]
+            rows.append((c * 1000 + j, [a + b for a, b in zip(center, jitter)]))
+    # ids sorted: 0..24 are cluster 0, 1000.. cluster 1, etc.; first 8 rows
+    # by id are all cluster 0 — so pass explicit per-cluster seeds instead
+    emb = spark.createDataFrame(
+        sorted(rows), "vec_id bigint, embedding array<double>"
+    )
+    query = [math.sin(3 * 2.3 + d) * 5 for d in range(8)]  # cluster 3 center
+
+    from fs_schema_validator_spark.operators.similarity import (
+        ivf_topk,
+        topk_cosine,
+    )
+
+    exact = [r.vec_id for r in topk_cosine(emb, query, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_topk(emb, query, k=10, n_centroids=16, probes=4).collect()
+    ]
+    # all exact top-10 live in cluster 3; IVF probes must find them
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 8, (exact, approx)
