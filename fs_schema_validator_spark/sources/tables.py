@@ -28,14 +28,35 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def load_table(spark: SparkSession, ref: str) -> DataFrame:
+def load_table(spark: SparkSession, ref: str, schema: str | None = None) -> DataFrame:
     """Load `ref` as a DataFrame.
 
     ``catalog.db.table`` references go through the session catalog (Iceberg
-    or hive); anything that looks like a path reads parquet."""
-    if "/" in ref or ref.endswith(".parquet"):
-        return spark.read.parquet(ref)
-    return spark.table(ref)
+    or hive). Paths dispatch on extension: parquet (default), orc,
+    json/jsonl (line-delimited), csv (headered). Schemaless text formats
+    accept an optional DDL `schema` string — validation semantics require
+    declared types, so passing one avoids sampling-based inference (a
+    second scan at scale, and inferred types defeat strict checks)."""
+    if "/" not in ref and not any(
+        ref.endswith(ext) for ext in (".parquet", ".orc", ".json", ".jsonl", ".csv")
+    ):
+        return spark.table(ref)
+    low = ref.lower()
+    if low.endswith(".orc") or low.rstrip("/").endswith("_orc"):
+        return spark.read.orc(ref)
+    if low.endswith((".json", ".jsonl")):
+        r = spark.read
+        if schema:
+            r = r.schema(schema)
+        return r.json(ref)
+    if low.endswith(".csv"):
+        r = spark.read.option("header", "true")
+        if schema:
+            r = r.schema(schema)
+        else:
+            r = r.option("inferSchema", "true")
+        return r.csv(ref)
+    return spark.read.parquet(ref)
 
 
 def current_snapshot_id(spark: SparkSession, ref: str) -> str:

@@ -148,3 +148,24 @@ def test_missing_schema_key_rejected():
 def test_bad_binding_type_rejected():
     with pytest.raises(RuleSetError):
         RuleSet.from_yaml("bindings: {x: 3.5}\nschema: []")
+
+
+def test_example_rule_specs_run_end_to_end(spark):
+    from pathlib import Path
+
+    from fs_schema_validator_spark.engine import ValidationEngine
+    from fs_schema_validator_spark.sources import synth
+
+    root = Path(__file__).resolve().parent.parent / "examples"
+    seq = synth.corrupt_sequences(synth.gen_sequences(spark, 200), every=50)
+    tables = {
+        "dim_sources": synth.gen_dim_sources(spark),
+        "ref_distribution": synth.gen_ref_distribution(spark),
+    }
+    for name in ("simple-rules.yaml", "complex-rules.yaml"):
+        res = ValidationEngine(subject_col="doc_id").validate(
+            seq, (root / name).read_text(), tables
+        )
+        rows = res.violations.collect()
+        assert rows, f"{name}: expected violations on corrupted input"
+        assert not res.okay()

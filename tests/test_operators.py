@@ -384,3 +384,32 @@ def test_ivf_topk_on_clustered_data(spark):
     # all exact top-10 live in cluster 3; IVF probes must find them
     overlap = len(set(exact) & set(approx))
     assert overlap >= 8, (exact, approx)
+
+
+def test_load_table_format_dispatch(spark, tmp_path):
+    from fs_schema_validator_spark.sources import synth, tables
+
+    seq = synth.gen_sequences(spark, 50).select("doc_id", "n_tok", "source")
+    for fmt, path in [
+        ("parquet", tmp_path / "t.parquet"),
+        ("orc", tmp_path / "t.orc"),
+        ("json", tmp_path / "t.json"),
+        ("csv", tmp_path / "t.csv"),
+    ]:
+        w = seq.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        getattr(w, fmt)(str(path))
+        got = tables.load_table(
+            spark,
+            str(path),
+            schema="doc_id string, n_tok bigint, source string"
+            if fmt in ("json", "csv")
+            else None,
+        )
+        assert got.count() == 50, fmt
+        assert set(got.columns) == {"doc_id", "n_tok", "source"}, fmt
+        # declared-schema path keeps strict types for the rule compiler
+        # (parquet/orc carry their own written types)
+        want = "bigint" if fmt in ("json", "csv") else dict(seq.dtypes)["n_tok"]
+        assert dict(got.dtypes)["n_tok"] == want, fmt
