@@ -97,8 +97,15 @@ class UniqueRule(RuleBase):
 
 @dataclass(frozen=True)
 class ReferentialRule(RuleBase):
-    """Every value of ``column`` must exist in ``dim[dim_key]`` (broadcast
-    left_anti; bloom screen at scale). Reason: "unknown {column}"."""
+    """Every value of ``column`` must exist in ``dim[dim_key]``. Reason:
+    "unknown {column}".
+
+    Physical strategy: broadcast left_anti for dims under the broadcast
+    threshold; past it, Catalyst's runtime bloom-filter injection
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on in
+    session.py defaults) builds the dim-side bloom during the shuffle
+    join and screens fact rows before the exchange — the "bloom
+    precheck + exact anti-join" pattern without hand-built filters."""
 
     column: str
     dim: str
