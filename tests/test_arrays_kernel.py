@@ -99,3 +99,66 @@ def test_spark_operator_screens_equal_rows(spark):
     }
     # row "a" is screened out JVM-side (arrays equal) and never reaches Python
     assert got == {"b": 1, "c": 0, "d": 0}
+
+
+def test_hyperplane_band_chunks_match_numpy_reference(spark):
+    from fs_schema_validator_spark.functions.arrays import (
+        hyperplane_band_chunks_arrow,
+    )
+    from fs_schema_validator_spark.operators.similarity import (
+        _projection_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_planes, bands = 12, 32, 4
+    vecs = rng.normal(size=(50, dim))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    planes = _projection_matrix(dim, n_planes, seed=9)
+    got = {
+        r.vec_id: list(r.chunks)
+        for r in hyperplane_band_chunks_arrow(df, planes, bands).collect()
+    }
+
+    pl = np.asarray(planes).T
+    bits = (vecs @ pl >= 0).astype(np.int64)
+    w = 1 << np.arange(n_planes // bands, dtype=np.int64)
+    want = bits.reshape(len(vecs), bands, -1) @ w
+    for i in range(len(vecs)):
+        assert got[i] == want[i].tolist(), i
+
+
+def test_ivf_assign_matches_naive_argmax(spark):
+    from fs_schema_validator_spark.functions.arrays import ivf_assign_arrow
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(80, 6))
+    cents = rng.normal(size=(5, 6))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r.vec_id: r.cell for r in ivf_assign_arrow(df, cents).collect()}
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    want = np.argmax(vn @ cn.T, axis=1)
+    for i in range(len(vecs)):
+        assert got[i] == want[i], i
+
+
+def test_minhash_kernel_deterministic_and_monotone():
+    from fs_schema_validator_spark.functions.arrays import minhash_mix_kernel
+
+    rows = [[1, 2, 3, 4], [1, 2, 3, 4], [5, 6], [], [1, 2, 3, 4, 99]]
+    arr = pa.array(rows, type=pa.list_(pa.int64()))
+    s1 = minhash_mix_kernel(arr, 32)
+    s2 = minhash_mix_kernel(arr, 32)
+    assert (s1 == s2).all()          # deterministic
+    assert (s1[0] == s1[1]).all()    # identical sets -> identical sigs
+    # superset can only lower (or keep) each permutation's min — compare
+    # in uint64 space (the int64 output is a bit-cast, not order-preserving)
+    assert (s1[4].astype(np.uint64) <= s1[0].astype(np.uint64)).all()
+    # empty row saturates to the uint64-max sentinel (-1 after int64 cast)
+    assert (s1[3] == -1).all()
