@@ -199,6 +199,20 @@ def stats_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — one shuffle computes per-(flag,
+    status), per-flag, and grand-total stats (Spark expands grouping sets
+    in the partial aggregate, no extra passes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
 def quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -778,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orphans": referential_orphans,
         "completeness_missing": completeness_missing,
         "stats_by_group": stats_by_group,
+        "stats_rollup": stats_rollup,
         "quantiles_by_group": quantiles_by_group,
         "histogram_psi": histogram_psi,
         "token_counts": token_counts,
@@ -865,6 +880,12 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(l_quantity), 6) AS avg_qty, "
             "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "stats_rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(l_quantity), 4) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
         "quantiles_by_group": (
             "SELECT l_returnflag, "
