@@ -166,6 +166,14 @@ def main() -> None:
             {"has_broadcast": True},
         )
     )
+    # rollup: grouping-set expansion inside ONE partial+final aggregate
+    sections.append(
+        audit(
+            "stats_rollup (grouping sets, one shuffle)",
+            qs["stats_rollup"](spark, SF_DIR),
+            {"max_scans": 1, "max_exchanges": 1},
+        )
+    )
     # drift: two aggregations over one scan + tiny grid window
     sections.append(
         audit(
