@@ -169,3 +169,57 @@ schema:
     rows = res.violations.collect()
     assert [r.subject for r in rows] == ["code"]
     assert rows[0].reason.startswith("distribution drift: PSI ")
+
+
+def test_empty_input_passes_all_rules(spark):
+    from fs_schema_validator_spark.sources import synth
+
+    seq = synth.gen_sequences(spark, 10).limit(0)
+    rules = """
+schema:
+  - {type: not_empty, column: tokens}
+  - {type: unique, keys: [doc_id]}
+  - type: referential
+    id: source_known
+    column: source
+    dim: dim_sources
+    dim_key: source
+"""
+    res = ValidationEngine(subject_col="doc_id").validate(
+        seq, rules, {"dim_sources": synth.gen_dim_sources(spark)}
+    )
+    assert res.violations.count() == 0
+    assert res.okay() and res.exit_code() == 0
+
+
+def test_all_null_column_splits_required_vs_empty(spark):
+    """Null vs empty are DIFFERENT violations, as in the reference: a
+    missing file is 'does not exist' (existence) while a zero-byte file is
+    'cannot be empty' (/root/reference/fs_schema_validator/schemas/
+    file.py:19-29). Here: null -> column_spec required ('Field required'),
+    [] -> not_empty; not_empty alone ignores nulls."""
+    from pyspark.sql import functions as F
+
+    from fs_schema_validator_spark.sources import synth
+
+    seq = synth.gen_sequences(spark, 20).withColumn(
+        "tokens",
+        F.when(F.col("doc_id").endswith("0"), F.array().cast("array<int>"))
+        .when(F.col("doc_id").endswith("1"), F.lit(None).cast("array<int>")),
+    )
+    rules = """
+schema:
+  - {type: not_empty, column: tokens}
+  - type: column_spec
+    id: tokens_required
+    column: tokens
+    spec: {type: array, items: {type: int}}
+"""
+    res = ValidationEngine(subject_col="doc_id").validate(seq, rules)
+    by_rule: dict[str, int] = {}
+    for r in res.violations.collect():
+        by_rule[r.rule_id] = by_rule.get(r.rule_id, 0) + 1
+    # ids doc-00000000..19: 2 end in '0', 2 end in '1'
+    assert by_rule["r000.not_empty"] == 2        # only the [] rows
+    assert by_rule["tokens_required"] >= 2       # the null rows
+    assert not res.okay() and res.exit_code() == 1
