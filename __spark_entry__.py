@@ -771,6 +771,36 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: plant duplicates, keep-first
+    exact dedup, quality gate (length + word shape), language-agreement
+    filter — the operators composing as one lazy plan (single shuffle for
+    the dedup window; quality/lang stages fuse into the scan)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    both = docs.unionByName(dupes)
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy(
+        "doc_id"
+    )
+    kept = (
+        both.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    quality = textstats.quality_features(kept)
+    lang = textstats.lang_id(kept)
+    joined = kept.select("doc_id").join(quality, "doc_id").join(lang, "doc_id")
+    return joined.filter(
+        (F.col("n_words") >= 30)
+        & F.col("agree")
+        & (F.col("avg_word_len") <= 10.0)
+    ).select("doc_id", "n_words", "predicted_lang")
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -823,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_verified": minhash_dedup_verified,
         "drift_ks": drift_ks,
         "ann_topk_exact": ann_topk_exact,
+        "curation_pipeline": curation_pipeline,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
     }
 
@@ -1104,6 +1135,34 @@ def oracle_sql() -> dict[str, str]:
             "'FRM:' || i || ':' || md5(payload) AS frame "
             "FROM m, generate_series(0, 29) AS g(i) "
             "WHERE i < nf AND i % 10 = 0"
+        ),
+        "curation_pipeline": (
+            "WITH u AS (SELECT doc_id, text, lang FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text, lang FROM documents "
+            "WHERE doc_id % 10 = 0), "
+            "k AS (SELECT doc_id, text, lang FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rk "
+            "FROM u) WHERE rk = 1), "
+            f"w AS (SELECT doc_id, lang, {_WORDS} AS w FROM k), "
+            "q AS (SELECT doc_id, lang, w, len(w) AS n_words, "
+            "CASE WHEN len(w) > 0 THEN round(list_sum(list_transform(w, "
+            "t -> length(t))) / CAST(len(w) AS DOUBLE), 4) ELSE 0.0 END "
+            "AS awl FROM w), "
+            "v AS (SELECT doc_id, lang, n_words, awl, "
+            "len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS v_en, "
+            "len(list_filter(w, t -> t IN ('der','die','das','und','zu'))) AS v_de, "
+            "len(list_filter(w, t -> t IN ('le','la','les','et','de'))) AS v_fr, "
+            "len(list_filter(w, t -> t IN ('el','la','los','y','de'))) AS v_es "
+            "FROM q), "
+            "s AS (SELECT *, greatest(v_en, v_de, v_fr, v_es) AS best FROM v), "
+            "p AS (SELECT doc_id, n_words, awl, lang, "
+            "CASE WHEN best = 0 THEN 'und' "
+            "WHEN v_en = best THEN 'en' WHEN v_de = best THEN 'de' "
+            "WHEN v_fr = best THEN 'fr' WHEN v_es = best THEN 'es' "
+            "ELSE 'und' END AS predicted_lang FROM s) "
+            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "predicted_lang FROM p "
+            "WHERE n_words >= 30 AND predicted_lang = lang AND awl <= 10.0"
         ),
         "minhash_dedup_verified": (
             # LSH recall is 1 at the planted near-dups' Jaccard (≥0.9), so

@@ -52,6 +52,7 @@ HEADLINE = [
     "cosine_scores_all",
     "embedding_near_dup_pairs",
     "array_mismatch_index",
+    "curation_pipeline",
 ]
 
 SEQ_RULES = r"""
