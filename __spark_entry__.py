@@ -258,6 +258,28 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.rolling_hashes(_t(spark, sf_dir, "documents"), k=8)
 
 
+def rolling_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup screen on the min-k-gram rolling hash: docs sharing their
+    minimal 8-char-gram collide even after prefix/suffix edits (planted
+    here as 'EDITED ' prefixes on every 10th doc — md5 dedup misses these,
+    the rolling fingerprint does not)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("EDITED "), F.col("text")).alias("text"),
+    )
+    both = docs.unionByName(edited)
+    fps = textstats.rolling_hashes(both, k=8)
+    return (
+        fps.groupBy("min_kgram_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup operators
 
@@ -831,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "subword_token_counts": subword_token_counts,
         "rolling_fingerprints": rolling_fingerprints,
+        "rolling_dup_groups": rolling_dup_groups,
         "dedup_exact_groups": dedup_exact_groups,
         "prefix_dup_groups": prefix_dup_groups,
         "jaccard_pairs": jaccard_pairs,
@@ -1002,6 +1025,24 @@ def oracle_sql() -> dict[str, str]:
             "list_reduce(list_prepend(CAST(7 AS BIGINT), codes[i:i+7]), "
             "(h, x) -> (h * 31 + x) % 2147483647))) END AS min_kgram_hash "
             "FROM w"
+        ),
+        "rolling_dup_groups": (
+            "WITH u AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, 'EDITED ' || text FROM documents "
+            "WHERE doc_id % 10 = 0), "
+            "c AS (SELECT doc_id, list_transform(list_filter("
+            "string_split_regex(text, ''), x -> x != ''), x -> "
+            "CAST(ascii(x) AS BIGINT)) AS codes FROM u), "
+            "w AS (SELECT doc_id, codes, len(codes) AS n, "
+            "list_reduce(list_prepend(CAST(7 AS BIGINT), codes), "
+            "(h, x) -> (h * 31 + x) % 2147483647) AS rhash FROM c), "
+            "f AS (SELECT doc_id, CASE WHEN n < 8 THEN rhash ELSE "
+            "list_min(list_transform(range(1, n - 6), i -> "
+            "list_reduce(list_prepend(CAST(7 AS BIGINT), codes[i:i+7]), "
+            "(h, x) -> (h * 31 + x) % 2147483647))) END AS min_kgram_hash "
+            "FROM w) "
+            "SELECT min_kgram_hash, CAST(count(*) AS BIGINT) AS n_docs, "
+            "min(doc_id) AS keeper FROM f GROUP BY 1 HAVING count(*) > 1"
         ),
         "dedup_exact_groups": (
             "WITH u AS (SELECT doc_id, text FROM documents UNION ALL "
