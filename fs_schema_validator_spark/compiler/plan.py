@@ -139,6 +139,7 @@ class CompiledPlan:
         self.tables = dict(tables)
         self.spark = df.sparkSession
         self._fused: DataFrame | None = None
+        self._observation = None  # created lazily in fused_projection
 
     # -- fused projection ---------------------------------------------------
     #
@@ -238,7 +239,24 @@ class CompiledPlan:
         for rule in self._equality_rules():
             cols.append(F.xxhash64(F.col(rule.column)).alias(f"_th_{rule.seq}"))
             cols.append(F.size(F.col(rule.column)).alias(f"_ts_{rule.seq}"))
-        fused = base.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+        # Observation metrics piggyback on the (single) materialization of
+        # the fused pass — rows scanned and row-rule-violating rows come
+        # back with the job, no second scan (Spark's data-quality observe
+        # API; streaming surfaces the same metrics per micro-batch).
+        from pyspark.sql import Observation
+
+        self._observation = Observation()
+        fused = (
+            base.select(*cols)
+            .observe(
+                self._observation,
+                F.count(F.lit(1)).alias("rows_scanned"),
+                F.sum((F.size("_viols") > 0).cast("long")).alias(
+                    "rows_with_row_violations"
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         self._fused = fused
         return fused
 

@@ -223,3 +223,27 @@ schema:
     assert by_rule["r000.not_empty"] == 2        # only the [] rows
     assert by_rule["tokens_required"] >= 2       # the null rows
     assert not res.okay() and res.exit_code() == 1
+
+
+def test_scan_metrics_observed_without_second_pass(spark):
+    from fs_schema_validator_spark.sources import synth
+
+    seq = synth.corrupt_sequences(synth.gen_sequences(spark, 100), every=50)
+    rules = """
+schema:
+  - {type: not_empty, column: tokens}
+  - type: expr
+    id: ntok_consistency
+    assert: "n_tok = size(tokens)"
+    reason: "'mismatch'"
+"""
+    res = ValidationEngine(subject_col="doc_id").validate(seq, rules)
+    res.violations.count()  # materializes the fused pass
+    m = res.scan_metrics()
+    assert m["rows_scanned"] == 100
+    # rows violating ANY row rule; corruption modes 0/1/3 of the every=50
+    # cycle trip these rules -> 2 rows each... mode cycle: i%50 in {0,1,3}
+    distinct_bad = (
+        res.violations.select("subject").distinct().count()
+    )
+    assert m["rows_with_row_violations"] == distinct_bad > 0
