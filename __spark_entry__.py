@@ -882,6 +882,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
+
+# 60-bit engine-portable word hash (mirror of dedup.portable_word_hashes):
+# first 15 hex chars of md5, folded base-16 with list_reduce.
+def _hex15(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_filter(string_split_regex(substr(md5({expr}), 1, 15), ''), "
+        "c -> c != ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, d) -> a * 16 + d)"
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+h AS (SELECT doc_id, list_transform(w, t -> {_hex15('t')}) AS hs FROM w),
+v AS (SELECT doc_id, b,
+             list_sum(list_transform(hs,
+                 x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS vote
+      FROM h, generate_series(0, 59) g(b))
+SELECT doc_id,
+       CAST(COALESCE(sum(CASE WHEN vote > 0
+                              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END), 0)
+            AS BIGINT) AS simhash
+FROM v GROUP BY doc_id
+"""
 _SHINGLES = (
     "CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] ELSE "
     "list_distinct(list_transform(range(1, len(w) - 1), "
@@ -1264,10 +1289,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ia AS id_a, ib AS id_b, round(dot / (na * nb), 5) AS cos "
             "FROM y WHERE round(dot / (na * nb), 5) >= 0.9"
         ),
-        # minhash_lsh_pairs, simhash_sigs, ann_topk, ann_topk_ivf:
-        # hash-seeded / quantized approximate operators — rows-only
-        # checks; each has an oracle-matched exact sibling
-        # (minhash_dedup_verified, ann_topk_exact).
+        "simhash_sigs": _SIMHASH_ORACLE,
     }
 
 

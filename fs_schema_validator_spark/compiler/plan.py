@@ -265,6 +265,23 @@ class CompiledPlan:
             self._fused.unpersist()
             self._fused = None
 
+    def observed_metrics(self) -> dict:
+        """Metrics latched by the fused pass's materialization (observe API).
+
+        Spark's Observation latches the metrics of the FIRST job that runs
+        the observed plan, so this accessor forces a full `count()` before
+        reading — if nothing has materialized the fused projection yet, the
+        count IS the first (full) job, and the metrics are exact. Callers
+        must not run partial actions (limit/show) on derivatives of the
+        fused projection before the first full materialization; metrics
+        latched by a partial job cannot be refreshed."""
+        if self._observation is None and self._fused is None:
+            self.fused_projection()
+        if self._observation is None:
+            return {}
+        self.fused_projection().count()  # no-op if already materialized
+        return dict(self._observation.get)
+
     # -- row rules: one fused scan ----------------------------------------
 
     def row_violations(self) -> DataFrame:

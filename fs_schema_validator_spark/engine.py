@@ -70,13 +70,9 @@ class ValidationResult:
     def scan_metrics(self) -> dict:
         """Metrics observed DURING the validation scan (no second pass):
         rows_scanned and rows_with_row_violations, via Spark's observe API.
-        Forces the fused pass if nothing materialized it yet."""
-        fused = self._plan.fused_projection()
-        obs = self._plan._observation
-        if obs is None:  # no rules compiled a fused pass
-            return {}
-        fused.count()  # no-op if already materialized; first action else
-        return dict(obs.get)
+        Delegates to CompiledPlan.observed_metrics(), which forces a full
+        materialization so the latched metrics cover every row."""
+        return self._plan.observed_metrics()
 
     def ok_subjects(self) -> DataFrame:
         """Subjects with zero violations (reference: valid_paths)."""

@@ -30,6 +30,26 @@ from pyspark.sql import functions as F
 _I64_MAX = np.iinfo(np.int64).max
 
 
+def _fixed_dim_matrix(
+    arr: pa.Array, dim: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(matrix rows×dim float64, good mask) from a list column of vectors.
+
+    Rows that are null or shorter than `dim` are masked out (zero-filled in
+    the matrix) instead of silently gathering values from neighboring rows
+    or running off the end of the flat buffer — wrong-dimension embeddings
+    occur in real data (this engine ships `embedding_dim_violations` for
+    exactly that), so the kernels must degrade per-row, not corrupt the
+    batch."""
+    starts, lengths, values, validity = _list_views(arr)
+    good = validity & (lengths >= dim)
+    flat = values.astype(np.float64, copy=False)
+    mat = np.zeros((len(starts), dim), dtype=np.float64)
+    if good.any():
+        mat[good] = flat[starts[good][:, None] + np.arange(dim)]
+    return mat, good
+
+
 def _list_views(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Return (starts, lengths, values, validity) NumPy views of a ListArray."""
     if isinstance(arr, pa.ChunkedArray):
@@ -177,6 +197,217 @@ def minhash_signatures_from_hashes(
     return src.mapInArrow(compute, out_schema)
 
 
+def _utf8_views(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(starts, byte_lengths, data, validity) NumPy views of a string array."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=off_dt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    starts, lengths = offsets[:-1], offsets[1:] - offsets[:-1]
+    if arr.null_count:
+        validity = np.asarray(arr.is_valid())
+    else:
+        validity = np.ones(len(arr), dtype=bool)
+    return starts, lengths, data, validity
+
+
+def rolling_hash_kernel(
+    texts: pa.Array,
+    k: int,
+    base: int = 31,
+    mod: int = 2147483647,
+    seed: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(whole, min_kgram) polynomial rolling hashes per string row.
+
+    whole[i]     = fold h -> (h*base + code) % mod over all codepoints,
+                   starting from `seed` (the Rabin-Karp document hash).
+    min_kgram[i] = min over all k-codepoint windows of the same fold
+                   (winnowing-style fingerprint); rows shorter than k fall
+                   back to `whole`.
+
+    True O(n) vectorization — no per-window refold: the closed form
+    h = seed*base^n + sum(code_j * base^(n-1-j)) (mod m) turns the whole-doc
+    hash into one aligned-powers product + segment sum, and the k-gram
+    hashes into k shifted vector products. This replaces the pure-SQL form
+    that re-folded every k-gram with an interpreted HOF `aggregate` over a
+    per-character `slice` — O(n*k) interpreted ops per row, the hottest
+    loop of the near-dup screen at corpus scale.
+
+    Codepoints: ASCII batches take the zero-copy byte path (byte == code-
+    point); a batch containing any multibyte UTF-8 decodes per row (the
+    rare path — kept for correctness parity with Spark/DuckDB `ascii()`
+    semantics on BMP text).
+    """
+    starts, blens, data, validity = _utf8_views(texts)
+    n = len(blens)
+    m = np.uint64(mod)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lo, hi = int(starts[0]), int(starts[-1] + blens[-1])
+    region = data[lo:hi]
+    if len(region) and (region >= 0x80).any():
+        codes_list = []
+        for i in range(n):
+            if not validity[i]:
+                codes_list.append(np.empty(0, dtype=np.uint64))
+                continue
+            raw = data[starts[i] : starts[i] + blens[i]].tobytes()
+            s = raw.decode("utf-8")
+            codes_list.append(
+                np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.uint64
+                )
+            )
+        clens = np.array([len(c) for c in codes_list], dtype=np.int64)
+        flat = (
+            np.concatenate(codes_list)
+            if clens.sum()
+            else np.empty(0, dtype=np.uint64)
+        )
+    elif validity.all():
+        clens = blens
+        flat = region.astype(np.uint64)
+    else:
+        keep = np.repeat(validity, blens)
+        clens = np.where(validity, blens, 0)
+        flat = region[keep].astype(np.uint64)
+
+    total = int(clens.sum())
+    rstart = np.zeros(n, dtype=np.int64)
+    np.cumsum(clens[:-1], out=rstart[1:])
+    maxlen = int(clens.max()) if n else 0
+    # powers of `base` mod `mod` (base*P < 2^36 — no overflow)
+    P = np.empty(max(maxlen, k) + 2, dtype=np.uint64)
+    P[0] = 1
+    b64 = np.uint64(base)
+    for j in range(1, len(P)):
+        P[j] = P[j - 1] * b64 % m
+
+    seed64 = np.uint64(seed % mod)
+    whole = np.full(n, seed64, dtype=np.uint64)
+    mink = whole.copy()
+    nonempty = clens > 0
+    if total == 0:
+        return whole.astype(np.int64), mink.astype(np.int64)
+
+    row_of = np.repeat(np.arange(n), clens)
+    pos = np.arange(total) - rstart[row_of]
+    expo = clens[row_of] - 1 - pos
+    # terms < mod^2 < 2^62; per-term mod keeps the segment sum < len*2^31
+    terms = (flat % m) * P[expo] % m
+    sums = np.add.reduceat(terms, rstart[nonempty])
+    whole[nonempty] = (P[clens[nonempty]] * seed64 % m + sums) % m
+    mink = whole.copy()
+
+    if total >= k and (clens >= k).any():
+        nw = total - k + 1
+        fm = flat % m
+        W = np.zeros(nw, dtype=np.uint64)
+        for j in range(k):
+            W += fm[j : j + nw] * P[k - 1 - j] % m  # k terms, each < mod
+        kh = (seed64 * P[k] % m + W) % m
+        BIG = np.uint64(1) << np.uint64(62)
+        kh_full = np.full(total, BIG, dtype=np.uint64)
+        valid_w = pos[:nw] <= (clens[row_of[:nw]] - k)
+        np.copyto(kh_full[:nw], kh, where=valid_w)
+        mins = np.minimum.reduceat(kh_full, rstart[nonempty])
+        tmp = np.full(n, BIG, dtype=np.uint64)
+        tmp[nonempty] = mins
+        mink = np.where(clens >= k, tmp, whole)
+    return whole.astype(np.int64), mink.astype(np.int64)
+
+
+def rolling_hashes_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    k: int = 8,
+    base: int = 31,
+    mod: int = 2147483647,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, rhash, min_kgram_hash) via the vectorized rolling-hash kernel."""
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        "rhash bigint, min_kgram_hash bigint"
+    )
+    src = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            whole, mk = rolling_hash_kernel(
+                batch.column("_t"), k, base, mod, seed
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    pa.array(whole, type=pa.int64()),
+                    pa.array(mk, type=pa.int64()),
+                ],
+                names=[id_col, "rhash", "min_kgram_hash"],
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
+def simhash_kernel(h: pa.Array, bits: int = 60) -> np.ndarray:
+    """(rows,) SimHash signatures from per-row word-hash lists.
+
+    Bit b of a row's signature is 1 iff more of its hashes have bit b set
+    than unset (strict majority; ties -> 0). One vectorized pass per bit:
+    extract the bit column from the flat values, segment-sum with
+    np.add.reduceat, compare against half the row length. Replaces the
+    pure-expression form that evaluated `bits` interpreted F.aggregate
+    lambdas per row (HOF lambdas don't codegen — measured ~100x slower
+    than Arrow kernels on this container, see hyperplane_band_chunks_arrow).
+    Empty/null rows get signature 0."""
+    starts, lengths, values, validity = _list_views(h)
+    n = len(lengths)
+    flat = values.astype(np.uint64, copy=False)
+    lengths = np.where(validity, lengths, 0)
+    nonempty = lengths > 0
+    sig = np.zeros(n, dtype=np.uint64)
+    if nonempty.any():
+        seg = starts[nonempty]
+        ln = lengths[nonempty].astype(np.uint64)
+        acc = np.zeros(len(seg), dtype=np.uint64)
+        for b in range(bits):
+            ones = np.add.reduceat((flat >> np.uint64(b)) & np.uint64(1), seg)
+            acc |= (2 * ones > ln).astype(np.uint64) << np.uint64(b)
+        sig[nonempty] = acc
+    return sig.astype(np.int64)
+
+
+def simhash_from_hashes(
+    df: DataFrame, hash_col: str, id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """(id, simhash bigint) — Arrow-batched NumPy SimHash over a column of
+    per-word hashes (compute the word hashes JVM-side first)."""
+    id_field = df.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, simhash bigint"
+    src = df.select(F.col(id_col), F.col(hash_col).alias("_h"))
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            sig = simhash_kernel(batch.column("_h"), bits)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), pa.array(sig, type=pa.int64())],
+                names=[id_col, "simhash"],
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
 def hyperplane_band_chunks_arrow(
     df: DataFrame,
     planes: list[list[float]],
@@ -192,7 +423,10 @@ def hyperplane_band_chunks_arrow(
     enter whole-stage codegen, so it evaluates interpreted at ~0.7 ms/row
     for 16 planes × 64 dims; this kernel measures ~100x faster and is the
     scale path for signature computation. Emitting per-band chunks (rather
-    than one packed signature) lets n_planes exceed 64."""
+    than one packed signature) lets n_planes exceed 64.
+
+    Null or short (< dim) vectors yield a NULL chunks row (downstream
+    explode drops them from banding) rather than reading stray values."""
     dim = len(planes[0])
     n_planes = len(planes)
     bits_per_band = n_planes // bands
@@ -204,17 +438,14 @@ def hyperplane_band_chunks_arrow(
 
     def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            arr = batch.column("_v")
-            starts, lengths, values, validity = _list_views(arr)
-            mat = values.astype(np.float64, copy=False)[
-                starts[:, None] + np.arange(dim)
-            ]
+            mat, good = _fixed_dim_matrix(batch.column("_v"), dim)
             bits = ((mat @ pl) >= 0.0).astype(np.int64)
             chunks = bits.reshape(len(mat), bands, bits_per_band) @ weights
+            out = [list(row) if ok else None for row, ok in zip(chunks, good)]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(id_col),
-                    pa.array(list(chunks), type=pa.list_(pa.int64())),
+                    pa.array(out, type=pa.list_(pa.int64())),
                 ],
                 names=[id_col, "chunks"],
             )
@@ -250,7 +481,8 @@ def ivf_assign_arrow(
 
     The centroid matrix is tiny (n_centroids × dim) and ships to workers
     inside the serialized kernel closure — the moral equivalent of a
-    broadcast variable."""
+    broadcast variable. Null/short vectors get a NULL cell (excluded from
+    every probe) instead of a garbage assignment."""
     cn = centroids.astype(np.float64)
     cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
     dim = cn.shape[1]
@@ -260,17 +492,15 @@ def ivf_assign_arrow(
 
     def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            arr = batch.column("_v")
-            starts, lengths, values, validity = _list_views(arr)
-            mat = values.astype(np.float64, copy=False)[
-                starts[:, None] + np.arange(dim)
-            ]
+            mat, good = _fixed_dim_matrix(batch.column("_v"), dim)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             cell = np.argmax((mat / norms) @ cn.T, axis=1).astype(np.int32)
+            out = pa.array(
+                np.ma.masked_array(cell, mask=~good), type=pa.int32()
+            )
             yield pa.RecordBatch.from_arrays(
-                [batch.column(id_col), pa.array(cell, type=pa.int32())],
-                names=[id_col, "cell"],
+                [batch.column(id_col), out], names=[id_col, "cell"]
             )
 
     return src.mapInArrow(compute, out_schema)

@@ -251,13 +251,11 @@ def verify_candidate_pairs(
     j = candidates.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.col("n_a") + F.col("n_b") - inter
-    return (
-        j.select(
-            "doc_a",
-            "doc_b",
-            F.round(inter / union.cast("double"), 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    ratio = inter / union.cast("double")
+    # threshold on the UNROUNDED ratio (the DuckDB oracle does the same);
+    # rounding applies only to the reported score column.
+    return j.filter(ratio >= threshold).select(
+        "doc_a", "doc_b", F.round(ratio, 4).alias("jaccard")
     )
 
 
@@ -282,45 +280,91 @@ def jaccard_pairs_exact(
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.col("a.n") + F.col("b.n") - inter
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / union.cast("double"), 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    ratio = inter / union.cast("double")
+    return pairs.filter(ratio >= threshold).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(ratio, 4).alias("jaccard"),
     )
 
 
-def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document from word-level xxhash64 bit votes.
+#: bits in the engine-portable word hash / SimHash signature (60 = the
+#: first 15 hex chars of md5 — positive in a signed bigint on every engine)
+PORTABLE_HASH_BITS = 60
+
+
+def portable_word_hashes(text_col: str) -> Column:
+    """array<bigint> 60-bit word hashes both Spark and DuckDB can compute
+    identically: the first 15 hex chars of md5(word) parsed base-16.
+
+    `conv` is a single builtin per word (no interpreted folding); the
+    DuckDB mirror folds the same 15 hex digits with list_reduce. Used by
+    the oracle-checked SimHash/MinHash variants so the driver's DuckDB
+    gate can replay the exact signature math (xxhash64 is Spark-only)."""
+    return F.transform(
+        _norm_words(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", strategy: str = "arrow"
+) -> DataFrame:
+    """60-bit SimHash per document from md5-derived word-hash bit votes.
 
     Bit b of the signature is 1 iff more words have bit b set than unset —
-    computed as 64 conditional sums over the word-hash array, one pass, no
-    shuffle."""
-    h = F.transform(_norm_words(text_col), lambda t: F.xxhash64(t))
-    bits = [
-        F.when(
-            F.aggregate(
-                h,
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc
-                + F.when(v.bitwiseAND(F.lit(1).cast("bigint") * (2**b)) != 0, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(2**b).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for b in range(63)  # bit 63 (sign) excluded: keeps signature positive
-    ]
-    sig = bits[0]
-    for bcol in bits[1:]:
-        sig = sig + bcol
-    return df.select("doc_id", sig.alias("simhash"))
+    one pass over the corpus, no shuffle.
+
+    strategy="arrow" (default): word hashes JVM-side (codegen), bit votes
+    as ONE mapInArrow NumPy kernel (functions.arrays.simhash_kernel) —
+    the previous pure-expression form evaluated 60+ interpreted
+    F.aggregate lambdas per row (HOF lambdas don't codegen; ~100x slower
+    than the Arrow path, the repo-wide measurement in
+    similarity.near_dup_pairs). strategy="sql" keeps that expression form
+    for differential testing.
+
+    The word hash is engine-portable (portable_word_hashes), so the DuckDB
+    oracle replays the signature bit-for-bit (driver query `simhash_sigs`)."""
+    h = portable_word_hashes(text_col)
+    if strategy == "arrow":
+        from ..functions.arrays import simhash_from_hashes
+
+        hashed = df.select("doc_id", h.alias("_h"))
+        return simhash_from_hashes(
+            hashed, "_h", "doc_id", bits=PORTABLE_HASH_BITS
+        )
+
+    def vote(w: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    w,
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc
+                    + F.when(
+                        v.bitwiseAND(F.lit(2**b).cast("bigint")) != 0, 1
+                    ).otherwise(-1),
+                )
+                > 0,
+                F.lit(2**b).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for b in range(PORTABLE_HASH_BITS)
+        ]
+        sig = bits[0]
+        for bcol in bits[1:]:
+            sig = sig + bcol
+        return sig
+
+    # 1-element-array binding so the word-hash array is computed once, not
+    # once per bit (CollapseProject would inline it 60 times otherwise)
+    sig = F.element_at(F.transform(F.array(h), vote), 1)
+    return df.select("doc_id", F.coalesce(sig, F.lit(0)).alias("simhash"))
 
 
-def simhash_candidates(signatures: DataFrame, band_bits: int = 16) -> DataFrame:
-    """Near-dup candidates: docs sharing any 16-bit band of the simhash."""
-    bands = 64 // band_bits
+def simhash_candidates(signatures: DataFrame, band_bits: int = 15) -> DataFrame:
+    """Near-dup candidates: docs sharing any band_bits-wide band of the
+    (60-bit) simhash — 4 bands of 15 bits by default."""
+    bands = PORTABLE_HASH_BITS // band_bits
     banded = signatures.select(
         "doc_id",
         F.explode(

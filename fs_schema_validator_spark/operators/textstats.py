@@ -142,15 +142,33 @@ def _poly_hash(codes: Column) -> Column:
     )
 
 
-def rolling_hashes(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+def rolling_hashes(
+    df: DataFrame, text_col: str = "text", k: int = 8, strategy: str = "arrow"
+) -> DataFrame:
     """(doc_id, rhash, min_kgram_hash) — Rabin-Karp rolling-hash
     fingerprints: the whole-document polynomial hash (base 31 mod 2^31-1
     over character codes) and the minimum k-char-gram hash (a winnowing-
     style content fingerprint that survives prefix/suffix edits).
 
-    The char-code array is bound once as a lambda variable (1-element-array
-    trick) so CollapseProject cannot inline it into each consumer. Docs
-    shorter than k fall back to the whole-document hash."""
+    strategy="arrow" (default): one mapInArrow NumPy kernel computing the
+    closed-form polynomial hashes in O(n) per document
+    (functions.arrays.rolling_hash_kernel). The expression form below
+    (strategy="sql") re-folds every k-gram with an interpreted HOF
+    `aggregate` over per-character `slice`s — O(n·k) interpreted ops per
+    row, the hottest loop of the near-dup screen at corpus scale — and is
+    retained for differential testing. Both strategies are hash-identical
+    (and match the DuckDB oracle) on BMP text; astral-plane codepoints
+    differ in the sql form (Java splits them into surrogate halves).
+
+    In the sql form the char-code array is bound once as a lambda variable
+    (1-element-array trick) so CollapseProject cannot inline it into each
+    consumer. Docs shorter than k fall back to the whole-document hash."""
+    if strategy == "arrow":
+        from ..functions.arrays import rolling_hashes_arrow
+
+        return rolling_hashes_arrow(
+            df, text_col, "doc_id", k, base=31, mod=_RH_MOD, seed=_RH_SEED
+        )
     chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
     codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
 

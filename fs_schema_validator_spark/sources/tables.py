@@ -28,21 +28,38 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def load_table(spark: SparkSession, ref: str, schema: str | None = None) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    ref: str,
+    schema: str | None = None,
+    fmt: str | None = None,
+) -> DataFrame:
     """Load `ref` as a DataFrame.
 
     ``catalog.db.table`` references go through the session catalog (Iceberg
-    or hive). Paths dispatch on extension: parquet (default), orc,
-    json/jsonl (line-delimited), csv (headered). Schemaless text formats
-    accept an optional DDL `schema` string — validation semantics require
-    declared types, so passing one avoids sampling-based inference (a
-    second scan at scale, and inferred types defeat strict checks)."""
+    or hive). Paths dispatch on FILE EXTENSION only: parquet (default),
+    orc, json/jsonl (line-delimited), csv (headered); pass `fmt` to force a
+    format for extension-less directories (directory NAMES are never
+    sniffed — a parquet directory named `events_orc` reads as parquet).
+    Schemaless text formats accept an optional DDL `schema` string —
+    validation semantics require declared types, so passing one avoids
+    sampling-based inference (a second scan at scale, and inferred types
+    defeat strict checks)."""
+    if fmt is not None:
+        r = spark.read
+        if schema:
+            r = r.schema(schema)
+        if fmt == "csv":
+            r = r.option("header", "true")
+            if not schema:
+                r = r.option("inferSchema", "true")
+        return r.format(fmt).load(ref)
     if "/" not in ref and not any(
         ref.endswith(ext) for ext in (".parquet", ".orc", ".json", ".jsonl", ".csv")
     ):
         return spark.table(ref)
     low = ref.lower()
-    if low.endswith(".orc") or low.rstrip("/").endswith("_orc"):
+    if low.endswith(".orc"):
         return spark.read.orc(ref)
     if low.endswith((".json", ".jsonl")):
         r = spark.read

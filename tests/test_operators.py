@@ -413,3 +413,38 @@ def test_load_table_format_dispatch(spark, tmp_path):
         # (parquet/orc carry their own written types)
         want = "bigint" if fmt in ("json", "csv") else dict(seq.dtypes)["n_tok"]
         assert dict(got.dtypes)["n_tok"] == want, fmt
+
+
+def test_load_table_explicit_fmt_overrides_extension(spark, tmp_path):
+    """Directory names are never sniffed: a parquet dir named *_orc reads
+    as parquet (the default), and `fmt` forces the reader explicitly."""
+    from fs_schema_validator_spark.sources import synth, tables
+
+    seq = synth.gen_sequences(spark, 20).select("doc_id", "n_tok", "source")
+    path = str(tmp_path / "events_orc")
+    seq.write.mode("overwrite").parquet(path)
+    assert tables.load_table(spark, path).count() == 20
+    assert tables.load_table(spark, path, fmt="parquet").count() == 20
+
+
+def test_simhash_strategies_agree(docs):
+    """Arrow kernel and pure-expression SimHash produce identical sigs."""
+    arrow = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    sql = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_signatures(docs, strategy="sql").collect()
+    }
+    assert arrow == sql
+    assert all(s >= 0 for s in arrow.values())
+
+
+def test_rolling_hash_strategies_agree(docs):
+    arrow = {
+        r.doc_id: (r.rhash, r.min_kgram_hash)
+        for r in textstats.rolling_hashes(docs, k=8).collect()
+    }
+    sql = {
+        r.doc_id: (r.rhash, r.min_kgram_hash)
+        for r in textstats.rolling_hashes(docs, k=8, strategy="sql").collect()
+    }
+    assert arrow == sql
