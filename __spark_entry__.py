@@ -306,9 +306,17 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding candidates over ENGINE-PORTABLE MinHash signatures
+    (mod-2^31-1 universal hash over md5-prefix word hashes) with raw
+    band-slice bucket keys — every step replayed verbatim by the DuckDB
+    oracle, so the banding pipeline itself is value-checked (the
+    xxhash64/splitmix64 scale default is exercised end-to-end by
+    minhash_dedup_verified against the exact-Jaccard oracle)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = dedup.minhash_signatures(docs, k=3, num_perm=64)
-    return dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    sigs = dedup.minhash_signatures_portable(docs, k=3, num_perm=64)
+    return dedup.lsh_candidate_pairs(
+        sigs, bands=16, rows_per_band=4, bucket="tuple"
+    )
 
 
 def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,6 +902,120 @@ def _hex15(expr: str) -> str:
     )
 
 
+def _minhash_lsh_oracle() -> str:
+    """DuckDB replay of the portable MinHash+LSH pipeline, constants
+    embedded from the same generator the Spark kernel uses."""
+    from fs_schema_validator_spark.operators.dedup import (
+        _SH31_C,
+        MH31_MOD,
+        minhash31_constants,
+    )
+
+    m = MH31_MOD
+    c0, c1, c2 = _SH31_C
+    perms = ", ".join(
+        f"({p}, {a}, {b})" for p, (a, b) in enumerate(minhash31_constants(64))
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+wh AS (SELECT doc_id, list_transform(w, t -> {_hex15('t')} % {m}) AS wh,
+              len(w) AS n
+       FROM w),
+sh AS (SELECT doc_id,
+              CASE WHEN n < 3
+                   THEN [list_reduce(list_prepend(CAST(7 AS BIGINT), wh),
+                                     (h, x) -> (h * 37 + x) % {m})]
+                   ELSE list_distinct(list_transform(range(1, n - 1),
+                        i -> ((wh[i] * {c0}) % {m} + (wh[i+1] * {c1}) % {m}
+                              + (wh[i+2] * {c2}) % {m}) % {m})) END AS sh
+       FROM wh),
+perms AS (SELECT * FROM (VALUES {perms}) t(p, a, b)),
+sigs AS (SELECT doc_id, p,
+                list_min(list_transform(sh, x -> (a * x + b) % {m})) AS s
+         FROM sh CROSS JOIN perms),
+sig AS (SELECT doc_id, list(s ORDER BY p) AS sig FROM sigs GROUP BY doc_id),
+banded AS (SELECT doc_id, b AS band, sig[b*4+1 : b*4+4] AS key
+           FROM sig, generate_series(0, 15) g(b))
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+"""
+
+
+def _ann_topk_oracle() -> str:
+    """DuckDB replay of hyperplane-LSH multi-probe top-k: the 8 projection
+    planes are embedded as literals from the same deterministic generator
+    the Spark operator uses; probes=9 over 8 planes makes the probe set
+    exactly the Hamming<=1 ball, i.e. bit_count(xor(sig, qsig)) <= 1."""
+    from fs_schema_validator_spark.operators.similarity import (
+        _projection_matrix,
+    )
+
+    planes = _projection_matrix(64, 8, 42)
+    vals = ", ".join(
+        f"({i}, {j}, {w!r})"
+        for i, row in enumerate(planes)
+        for j, w in enumerate(row)
+    )
+    return f"""
+WITH planes AS (SELECT * FROM (VALUES {vals}) t(i, j, w)),
+dots AS (SELECT e.vec_id, p.i,
+                sum(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.w) AS dp
+         FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.i),
+sigs AS (SELECT vec_id,
+                CAST(sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << i
+                              ELSE 0 END) AS BIGINT) AS sig
+         FROM dots GROUP BY vec_id),
+q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+cand AS (SELECT s.vec_id FROM sigs s, q
+         WHERE bit_count(xor(s.sig, q.qsig)) <= 1),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+x AS (SELECT e.vec_id, CAST(e.embedding[i] AS DOUBLE) AS a,
+             CAST(q.qv[i] AS DOUBLE) AS b
+      FROM embeddings e JOIN cand USING (vec_id), qv q,
+           generate_series(1, 64) g(i)),
+s AS (SELECT vec_id, round(sum(a * b) /
+             (sqrt(sum(a * a)) * sqrt(sum(b * b))), 5) AS cos
+      FROM x GROUP BY vec_id)
+SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+_ANN_IVF_ORACLE = """
+WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+cn AS (SELECT cell, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+                             * CAST(embedding[i] AS DOUBLE))) AS nrm
+       FROM cent, generate_series(1, 64) g(i) GROUP BY cell),
+cdot AS (SELECT e.vec_id, c.cell,
+                sum(CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)) AS dot_vc
+         FROM embeddings e CROSS JOIN cent c,
+              generate_series(1, 64) g(i)
+         GROUP BY e.vec_id, c.cell),
+scored AS (SELECT vec_id, cdot.cell, dot_vc / nrm AS sim
+           FROM cdot JOIN cn USING (cell)),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cell ASC) AS rk
+             FROM scored) WHERE rk = 1),
+qprobe AS (SELECT cell FROM scored WHERE vec_id = 0
+           ORDER BY sim DESC, cell ASC LIMIT 4),
+cand AS (SELECT vec_id FROM assign JOIN qprobe USING (cell)),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+x AS (SELECT e.vec_id, CAST(e.embedding[i] AS DOUBLE) AS a,
+             CAST(q.qv[i] AS DOUBLE) AS b
+      FROM embeddings e JOIN cand USING (vec_id), qv q,
+           generate_series(1, 64) g(i)),
+s AS (SELECT vec_id, round(sum(a * b) /
+             (sqrt(sum(a * a)) * sqrt(sum(b * b))), 5) AS cos
+      FROM x GROUP BY vec_id)
+SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
 _SIMHASH_ORACLE = f"""
 WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 h AS (SELECT doc_id, list_transform(w, t -> {_hex15('t')}) AS hs FROM w),
@@ -1290,6 +1412,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM y WHERE round(dot / (na * nb), 5) >= 0.9"
         ),
         "simhash_sigs": _SIMHASH_ORACLE,
+        "minhash_lsh_pairs": _minhash_lsh_oracle(),
+        "ann_topk": _ann_topk_oracle(),
+        "ann_topk_ivf": _ANN_IVF_ORACLE,
     }
 
 

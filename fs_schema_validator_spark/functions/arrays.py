@@ -197,6 +197,59 @@ def minhash_signatures_from_hashes(
     return src.mapInArrow(compute, out_schema)
 
 
+def minhash_mix_mod_kernel(
+    h: pa.Array, constants: list[tuple[int, int]], modulus: int
+) -> np.ndarray:
+    """(rows, P) MinHash signature matrix via the modular universal hash
+    ``(a_p * x + b_p) mod modulus`` — the engine-portable mix.
+
+    With modulus = 2^31-1 and 31-bit constants every product stays under
+    2^62, so the whole mix runs in uint64 with no wrap-around tricks, and
+    DuckDB can replay it in plain BIGINT math (the driver's oracle does).
+    Same vectorized shape as minhash_mix_kernel: one elementwise mix + one
+    np.minimum.reduceat per permutation. Empty/null rows emit `modulus`
+    (an impossible minimum — residues are < modulus)."""
+    starts, lengths, values, validity = _list_views(h)
+    n = len(lengths)
+    m = np.uint64(modulus)
+    flat = values.astype(np.uint64, copy=False) % m
+    out = np.full((n, len(constants)), modulus, dtype=np.uint64)
+    nonempty = (lengths > 0) & validity
+    if nonempty.any():
+        seg = starts[nonempty].astype(np.int64)
+        for p, (a, b) in enumerate(constants):
+            mixed = (np.uint64(a) * flat + np.uint64(b)) % m
+            out[nonempty, p] = np.minimum.reduceat(mixed, seg)
+    return out.astype(np.int64)
+
+
+def minhash_signatures_from_hashes_mod(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    constants: list[tuple[int, int]],
+    modulus: int,
+) -> DataFrame:
+    """(id, sig array<bigint>) — Arrow-batched portable MinHash (mod-2^31-1
+    universal hash) over a column of pre-hashed shingles."""
+    id_field = df.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, sig array<bigint>"
+    src = df.select(F.col(id_col), F.col(hash_col).alias("_h"))
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            sig = minhash_mix_mod_kernel(batch.column("_h"), constants, modulus)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    pa.array(list(sig), type=pa.list_(pa.int64())),
+                ],
+                names=[id_col, "sig"],
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
 def _utf8_views(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """(starts, byte_lengths, data, validity) NumPy views of a string array."""
     if isinstance(arr, pa.ChunkedArray):

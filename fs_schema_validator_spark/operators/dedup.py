@@ -107,6 +107,87 @@ def shingle_hashes(text_col: str, k: int = 3) -> Column:
     return F.flatten(F.transform(F.array(wh), per_row))
 
 
+#: modulus for the engine-portable MinHash family (Mersenne prime 2^31-1:
+#: 31-bit residues keep every a*x product under 2^62 — uint64/BIGINT-safe
+#: on Spark, NumPy, and DuckDB alike)
+MH31_MOD = 2147483647
+# shingle-combine multipliers (arbitrary primes < 2^31)
+_SH31_C = (1000003, 999979, 31607)
+
+
+def minhash31_constants(
+    num_perm: int, seed: int = 987654321
+) -> list[tuple[int, int]]:
+    """Deterministic (a_p, b_p) pairs for the mod-2^31-1 universal hash —
+    a tiny LCG stream so Spark, the Arrow kernel, and the DuckDB oracle
+    embed the exact same constants."""
+    state = seed & 0x7FFFFFFF
+    out = []
+    for _ in range(num_perm):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state % (MH31_MOD - 1) + 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % MH31_MOD
+        out.append((a, b))
+    return out
+
+
+def portable_shingle_hashes(text_col: str, k: int = 3) -> Column:
+    """Distinct mod-2^31-1 hashes of word k-shingles, computed WITHOUT
+    building shingle strings: each word gets a portable md5-prefix hash
+    (portable_word_hashes % M), and a shingle combines k consecutive word
+    hashes with fixed multipliers mod M. Engine-portable sibling of
+    shingle_hashes (same scale shape: word-hash array bound once as a
+    lambda variable, integer ops per window); DuckDB mirrors it with
+    list_transform/list_reduce."""
+    if k != 3:
+        raise ValueError("portable shingles are pinned to k=3 (oracle mirror)")
+    m = F.lit(MH31_MOD).cast("bigint")
+    wh = F.transform(portable_word_hashes(text_col), lambda x: x % m)
+
+    def per_row(w: Column) -> Column:
+        n = F.size(w)
+        whole = F.array(
+            F.aggregate(
+                w,
+                F.lit(7).cast("bigint"),
+                lambda acc, x: (acc * 37 + x) % m,
+            )
+        )
+        windows = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: (
+                sum(
+                    (F.element_at(w, (i + j).cast("int")) * _SH31_C[j]) % m
+                    for j in range(k)
+                )
+            )
+            % m,
+        )
+        return F.when(n < k, whole).otherwise(F.array_distinct(windows))
+
+    return F.flatten(F.transform(F.array(wh), per_row))
+
+
+def minhash_signatures_portable(
+    df: DataFrame, text_col: str = "text", k: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """(doc_id, sig) engine-portable MinHash signatures: md5-prefix word
+    hashes, mod-2^31-1 shingle combine, and (a_p*x+b_p) mod 2^31-1
+    permutations — every step replayable in DuckDB BIGINT math, so the
+    driver's oracle checks signatures (and the LSH pairs built from them)
+    value-for-value. Same Arrow-kernel shape as the xxhash64/splitmix64
+    scale default (minhash_signatures); 31-bit registers are the classic
+    MinHash width and cost nothing at the banding stage."""
+    from ..functions.arrays import minhash_signatures_from_hashes_mod
+
+    base = portable_shingle_hashes(text_col, k)
+    hashed = df.select("doc_id", base.alias("_h"))
+    return minhash_signatures_from_hashes_mod(
+        hashed, "_h", "doc_id", minhash31_constants(num_perm), MH31_MOD
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -148,7 +229,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    bucket: str = "hash",
 ) -> DataFrame:
     """Candidate near-dup pairs via the banding trick.
 
@@ -163,20 +247,31 @@ def lsh_candidate_pairs(
     is one (16B key, id) record per doc per band, and the quadratic pair
     expansion is confined to individual bucket groups, whose occupancy the
     band width bounds. The bucket hash folds the band's `rows_per_band`
-    signature values as integers (xxhash64 varargs) — no string building."""
+    signature values as integers (xxhash64 varargs) — no string building.
+
+    bucket="hash" (default) folds each band's values with xxhash64 — an
+    8-byte shuffle key. bucket="tuple" groups on the raw value slice
+    instead (collision-free and engine-portable: the DuckDB oracle joins
+    on band-slice equality, so the oracle-gated query uses this form; the
+    shuffle key grows to rows_per_band*8 bytes)."""
+
+    def bucket_of(b: Column) -> Column:
+        if bucket == "tuple":
+            return F.slice(
+                F.col("sig"), b * rows_per_band + 1, F.lit(rows_per_band)
+            )
+        return F.xxhash64(
+            *[
+                F.element_at(
+                    F.col("sig"), (b * rows_per_band + j + 1).cast("int")
+                )
+                for j in range(rows_per_band)
+            ]
+        )
+
     bucket_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                *[
-                    F.element_at(
-                        F.col("sig"), (b * rows_per_band + j + 1).cast("int")
-                    )
-                    for j in range(rows_per_band)
-                ]
-            ).alias("bucket"),
-        ),
+        lambda b: F.struct(b.alias("band"), bucket_of(b).alias("bucket")),
     )
     banded = signatures.select(
         "doc_id", F.explode(bucket_structs).alias("bb")

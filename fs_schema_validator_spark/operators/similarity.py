@@ -205,6 +205,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     probes: int = 9,
+    strategy: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: score only rows in the query's LSH bucket plus
     its `probes-1` Hamming-distance-1 neighbor buckets (multi-probe LSH —
@@ -215,7 +216,18 @@ def lsh_bucketed_topk(
     With B = 2^n_planes buckets the candidate set is ~N·probes/B;
     partition pruning applies if the table is written bucketed by the
     signature (the intended layout at scale): the IN-list filter on the
-    bucket id prunes file groups before the scan."""
+    bucket id prunes file groups before the scan.
+
+    strategy="arrow" (default): signatures via the BLAS matmul kernel
+    (hyperplane_band_chunks_arrow, bands=1 — one packed sig per row;
+    the HOF expression form doesn't codegen, ~100x slower) with a
+    broadcast semi-join from the probed bucket ids back to the table;
+    at scale the bucketed-layout pruning replaces that join entirely.
+    strategy="sql": pure-expression signature, in-scan filter.
+
+    When probes >= n_planes + 1 the probe set is exactly the Hamming<=1
+    ball around the query's signature — the form the DuckDB oracle
+    replays with bit_count(xor(sig, qsig)) <= 1."""
     dim = len(query)
     planes = _projection_matrix(dim, n_planes, seed)
     qsig = 0
@@ -229,9 +241,18 @@ def lsh_bucketed_topk(
     probe_sigs = [qsig] + [
         qsig ^ (1 << i) for _, i in sorted(margins)[: max(0, probes - 1)]
     ]
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bucketed = df.withColumn("_sig", hyperplane_signature(v, planes))
-    candidates = bucketed.filter(F.col("_sig").isin(probe_sigs))
+    if strategy == "arrow":
+        from ..functions.arrays import hyperplane_band_chunks_arrow
+
+        sigs = hyperplane_band_chunks_arrow(df, planes, 1, vec_col, id_col)
+        in_bucket = sigs.filter(
+            F.element_at(F.col("chunks"), 1).isin(probe_sigs)
+        ).select(id_col)
+        candidates = df.join(F.broadcast(in_bucket), id_col, "left_semi")
+    else:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        bucketed = df.withColumn("_sig", hyperplane_signature(v, planes))
+        candidates = bucketed.filter(F.col("_sig").isin(probe_sigs))
     return topk_cosine(candidates, query, k, vec_col, id_col)
 
 
