@@ -29,6 +29,94 @@ from pyspark.sql import functions as F
 from .textstats import words
 
 
+def _ordered_pair_expr(ids: Column, a_name: str, b_name: str) -> Column:
+    """All ordered (a < b by list position) pairs from a sorted id list —
+    pure expressions, no self-join."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.filter(
+                F.transform(
+                    ids,
+                    lambda b, j: F.when(
+                        j > i, F.struct(a.alias(a_name), b.alias(b_name))
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+
+
+def bucket_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    max_bucket: int | None = 512,
+) -> DataFrame:
+    """Distinct ordered id pairs per bucket, with HOT-BUCKET protection.
+
+    The naive form (collect_list per bucket + in-expression O(m²) pair
+    expansion) is fine for random collisions, but identical documents
+    collide in EVERY band regardless of band width — a boilerplate dup
+    cluster of 10^5 members would put one 10^5-element array in a single
+    aggregation row and expand 10^10 pairs in one task. With
+    `max_bucket=N` the expansion is bounded:
+
+    * the first N members of a bucket (ordered by id) form a full clique
+      (N(N-1)/2 pairs — the within-sample pairs downstream verify/score
+      stages expect);
+    * every member beyond N is linked to the bucket's minimum id with ONE
+      star pair (keeper, member) — membership in the dup cluster is
+      preserved for connected-component/keep-first consumers at linear
+      cost, and no aggregation row ever holds more than N ids.
+
+    A full bucket is by definition a (near-)dup cluster, so the star edges
+    lose no information a dedup pass needs; exact pair-level scores for
+    the tail are the only thing traded away. `max_bucket=None` disables
+    the cap (the oracle-checked small-scale queries use sizes far below
+    the default cap, so capped and uncapped outputs coincide there).
+
+    One shuffle either way: the cap path sorts within (key) partitions for
+    row_number, and the subsequent groupBy reuses that hash partitioning
+    (no second exchange — AQE leaves the aggregation co-partitioned)."""
+    pair_expr = _ordered_pair_expr(F.col("ids"), out_a, out_b)
+    if max_bucket is None:
+        groups = (
+            banded.groupBy(*key_cols)
+            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        return (
+            groups.select(F.explode(pair_expr).alias("p"))
+            .select(f"p.{out_a}", f"p.{out_b}")
+            .distinct()
+        )
+    from pyspark.sql import Window
+
+    wkey = Window.partitionBy(*key_cols)
+    ranked = banded.select(
+        *key_cols,
+        F.col(id_col),
+        F.row_number().over(wkey.orderBy(id_col)).alias("_rk"),
+        F.min(id_col).over(wkey).alias("_keeper"),
+    )
+    clique = (
+        ranked.filter(F.col("_rk") <= max_bucket)
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(f"p.{out_a}", f"p.{out_b}")
+    )
+    star = ranked.filter(F.col("_rk") > max_bucket).select(
+        F.col("_keeper").alias(out_a), F.col(id_col).alias(out_b)
+    )
+    return clique.unionByName(star).distinct()
+
+
 def _norm_words(text_col: str) -> Column:
     return words(F.lower(F.col(text_col)))
 
@@ -233,6 +321,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     bucket: str = "hash",
+    max_bucket: int | None = 512,
 ) -> DataFrame:
     """Candidate near-dup pairs via the banding trick.
 
@@ -240,14 +329,14 @@ def lsh_candidate_pairs(
     self-join happens within (band, bucket) groups only. Returns distinct
     (doc_a, doc_b) with doc_a < doc_b.
 
-    One shuffle total: explode to (band, bucket, doc_id), groupBy the
-    bucket key with collect_list, then expand each >1-occupancy bucket's
-    member list into ordered pairs with nested `transform`s (pure
-    expressions, no self-join, no cache). At 10^12 docs the shuffle volume
-    is one (16B key, id) record per doc per band, and the quadratic pair
-    expansion is confined to individual bucket groups, whose occupancy the
-    band width bounds. The bucket hash folds the band's `rows_per_band`
-    signature values as integers (xxhash64 varargs) — no string building.
+    One shuffle total: explode to (band, bucket, doc_id), then bucket-wise
+    pair expansion via `bucket_pairs` — full cliques up to `max_bucket`
+    members per bucket, star links (bucket-min, member) beyond that, so a
+    giant exact-dup cluster cannot blow up a single task (see
+    bucket_pairs for the exact contract). At 10^12 docs the shuffle
+    volume is one (16B key, id) record per doc per band. The bucket hash
+    folds the band's `rows_per_band` signature values as integers
+    (xxhash64 varargs) — no string building.
 
     bucket="hash" (default) folds each band's values with xxhash64 — an
     8-byte shuffle key. bucket="tuple" groups on the raw value slice
@@ -276,29 +365,8 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc_id", F.explode(bucket_structs).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
-    groups = (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.filter(
-                F.transform(
-                    F.col("ids"),
-                    lambda b, j: F.when(
-                        j > i, F.struct(a.alias("doc_a"), b.alias("doc_b"))
-                    ),
-                ),
-                lambda s: s.isNotNull(),
-            ),
-        )
-    )
-    return (
-        groups.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    return bucket_pairs(
+        banded, ["band", "bucket"], "doc_id", "doc_a", "doc_b", max_bucket
     )
 
 
@@ -322,8 +390,11 @@ def verify_candidate_pairs(
     # the candidate set is consumed twice (participant ids + the score
     # join); cache it so the LSH lineage — a full signature pass over the
     # corpus — runs once (at cluster scale: materialize candidates to a
-    # table between the two stages)
-    candidates = candidates.cache()
+    # table between the two stages). Tracked for explicit unpersist via
+    # functions.cache.release_all() — the CompiledPlan.release() pattern.
+    from ..functions.cache import track
+
+    candidates = track(candidates.cache())
     ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))

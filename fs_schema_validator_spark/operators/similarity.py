@@ -101,6 +101,7 @@ def near_dup_pairs(
     seed: int = 42,
     digits: int = 5,
     strategy: str = "arrow",
+    max_bucket: int | None = 512,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale: multi-band
     random-hyperplane LSH proposes candidates, exact cosine (double math)
@@ -143,36 +144,21 @@ def near_dup_pairs(
                 ]
             ).alias("chunks"),
         )
+    from ..functions.cache import track
+    from .dedup import bucket_pairs
+
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(F.col("chunks")).alias("band", "chunk"),
     )
-    groups = (
-        banded.groupBy("band", "chunk")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.filter(
-                F.transform(
-                    F.col("ids"),
-                    lambda b, j: F.when(
-                        j > i, F.struct(a.alias("id_a"), b.alias("id_b"))
-                    ),
-                ),
-                lambda s: s.isNotNull(),
-            ),
-        )
-    )
-    cand = (
-        groups.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-        # consumed twice (participant ids + the score join): cache so the
-        # signature pass over the corpus runs once
-        .cache()
+    cand = track(
+        # bucket-wise pair expansion with the hot-bucket cap (exact-dup
+        # embedding clusters collide in every band; see bucket_pairs);
+        # consumed twice (participant ids + the score join), so cached —
+        # release with functions.cache.release_all() after the action
+        bucket_pairs(
+            banded, ["band", "chunk"], id_col, "id_a", "id_b", max_bucket
+        ).cache()
     )
     ids = (
         cand.select(F.col("id_a").alias(id_col))

@@ -448,3 +448,48 @@ def test_rolling_hash_strategies_agree(docs):
         for r in textstats.rolling_hashes(docs, k=8, strategy="sql").collect()
     }
     assert arrow == sql
+
+
+def test_lsh_bucket_cap_bounds_hot_buckets(spark):
+    """A planted exact-dup cluster collides in EVERY band; the cap keeps
+    the expansion to a bounded clique plus linear star links."""
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(300)]
+    rows += [(1000 + i, _doc(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = dedup.minhash_signatures(df, k=3, num_perm=64)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(
+            sigs, bands=16, rows_per_band=4, max_bucket=50
+        ).collect()
+    }
+    want_clique = {(a, b) for a in range(50) for b in range(a + 1, 50)}
+    want_star = {(0, b) for b in range(50, 300)}
+    # independent docs may add a few incidental candidates; the planted
+    # cluster must produce exactly clique+star (no O(m^2) tail pairs)
+    cluster_pairs = {p for p in got if p[0] < 1000 and p[1] < 1000}
+    assert cluster_pairs == want_clique | want_star
+
+
+def test_lsh_cap_disabled_matches_capped_on_small_buckets(docs):
+    sigs = dedup.minhash_signatures(docs, k=3, num_perm=64)
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(sigs, max_bucket=512).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(sigs, max_bucket=None).collect()
+    }
+    assert capped == uncapped
+
+
+def test_cache_registry_releases_tracked_frames(docs):
+    from fs_schema_validator_spark.functions import cache
+
+    cache.release_all()  # start clean
+    sigs = dedup.minhash_signatures(docs, k=3, num_perm=64)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    dedup.verify_candidate_pairs(docs, cand, k=3, threshold=0.5).collect()
+    assert cache.release_all() >= 1
+    assert cache.release_all() == 0
