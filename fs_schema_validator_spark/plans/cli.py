@@ -40,11 +40,31 @@ def _parse_aux(values: list[str]) -> dict[str, str]:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    """CLI matching the reference contract
+    (/root/reference/fs_schema_validator/__main__.py:25-96): rule spec and
+    subject default from $VALIDATION_SCHEMA_PATH / $VALIDATION_ROOT_DIR,
+    --verbose echoes the inputs + inspected count, valid subjects print as
+    sorted ✅ lines (behind --show-valid here: at 10^12 subjects the
+    reference's unconditional print is not a sane default)."""
     p = argparse.ArgumentParser(prog="fs_schema_validator_spark")
     sub = p.add_subparsers(dest="command", required=True)
     v = sub.add_parser("validate", help="validate a table against a rule spec")
-    v.add_argument("--rules", required=True, help="YAML rule-spec path")
-    v.add_argument("--table", required=True, help="subject table path (parquet)")
+    v.add_argument(
+        "--rules",
+        default=os.environ.get("VALIDATION_SCHEMA_PATH"),
+        help="YAML rule-spec path (default: $VALIDATION_SCHEMA_PATH)",
+    )
+    v.add_argument(
+        "--table",
+        default=os.environ.get("VALIDATION_ROOT_DIR"),
+        help="subject table path (default: $VALIDATION_ROOT_DIR)",
+    )
+    v.add_argument(
+        "--show-valid",
+        action="store_true",
+        help="print sorted ✅ lines for subjects with zero violations "
+        "(limited by --max-print; reference prints these unconditionally)",
+    )
     v.add_argument("--aux", action="append", default=[], help="name=path auxiliary table")
     v.add_argument("-b", "--binding", action="append", default=[],
                    help="binding override, e.g. -b idx=0..3 (repeatable)")
@@ -58,6 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def cmd_validate(args: argparse.Namespace) -> int:
+    if not args.rules or not args.table:
+        print(
+            "missing --rules/--table (or $VALIDATION_SCHEMA_PATH/"
+            "$VALIDATION_ROOT_DIR)",
+            file=sys.stderr,
+        )
+        return 2
     try:
         aux = _parse_aux(args.aux)
     except UsageError as e:
@@ -69,6 +96,15 @@ def cmd_validate(args: argparse.Namespace) -> int:
     except ParseError as e:
         print(f"binding cannot be parsed: {e}", file=sys.stderr)
         return 127
+
+    if args.verbose:
+        print(f"Schema path: {args.rules}")
+        print(f"Root dir: {args.table}")
+        if bindings:
+            print("⚠️  Overriding the following bindings:")
+            for k, v in bindings.items():
+                print(f"  {k} = {v}")
+        print()
 
     try:
         with open(args.rules) as f:
@@ -86,7 +122,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
     try:
         result = engine.validate(df, rules_yaml, tables, bindings)
     except (RuleSetError, ParseError) as e:
-        print("The provided rule spec is invalid!", file=sys.stderr)
+        print("❗️ The provided schema is invalid!", file=sys.stderr)
         print(str(e), file=sys.stderr)
         return 127
 
@@ -96,13 +132,24 @@ def cmd_validate(args: argparse.Namespace) -> int:
     if args.group:
         result.summary(args.group).show(truncate=False)
 
+    if args.verbose:
+        metrics = result.scan_metrics()
+        if metrics:
+            print(f"Inspected {metrics.get('rows_scanned', 0)} rows.")
+            print()
+
+    if args.show_valid:
+        for row in result.ok_subjects().limit(args.max_print).collect():
+            print(f"✅ {row.subject}")
+
     grouped = result.grouped_by_subject().limit(args.max_print).collect()
     if not grouped:
         if args.verbose:
             print("all rules passed")
         return 0
+    print()
     for row in grouped:
-        print(f"! {row.subject}")
+        print(f"❗️ {row.subject}")
         for reason in row.reasons:
             print(f"     - {reason}")
     return 1

@@ -22,13 +22,14 @@ Reproduces the reference's schema compilation pipeline
 from __future__ import annotations
 
 import itertools
+import re
 from io import StringIO
 from typing import Any, Iterator, Mapping
 
 import yaml
 
 from .. import evaluator
-from ..evaluator import Bindings, EnumVal, RangeVal, Str
+from ..evaluator import Bindings, EnumVal, RangeVal, Str, UnboundSymbolError
 from . import model as Mdl
 from .spec import SpecError, parse_spec
 
@@ -91,6 +92,73 @@ def _expand_rule(rule: dict[str, Any], bindings: Bindings) -> Iterator[dict[str,
         for key, value in rule.items()
     ]
     return (dict(combo) for combo in itertools.product(*pools))
+
+
+# a leftover unbound hole, exactly as Hole.__str__ re-renders it in phase 1
+_HOLE_RE = re.compile(r"\{\$([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\}")
+
+
+def _resolve_inner(value: Any, bindings: Bindings, where: str) -> Any:
+    """Phase-2 resolution of leftover ``{$name}`` holes (recursing through
+    nested dicts/lists, e.g. specs). Substitutes via the evaluator's own
+    Hole semantics (format specs, sorted enums); unlike phase 1, a hole
+    that stays unbound is a HARD error — a misspelled binding must not
+    survive into a compiled rule as literal text (a `{$nmae}` inside a
+    regex would validate garbage). Strings without holes pass through
+    untouched, so phase-1 ``{{...}}`` unescapes are never re-parsed."""
+    if isinstance(value, str):
+        from ..evaluator.values import BindingRef, Hole
+
+        def sub(mt: re.Match) -> str:
+            name, fmt = mt.group(1), mt.group(2)
+            try:
+                variants = list(
+                    Hole(BindingRef(name), fmt).expand(bindings, False)
+                )
+            except UnboundSymbolError:
+                raise RuleSetError(
+                    f"binding `${name}` in {where} is still unbound after "
+                    "schema-level and rule-level (inner_bindings) expansion"
+                ) from None
+            if len(variants) != 1:
+                raise RuleSetError(
+                    f"inner binding `${name}` in {where} must expand to "
+                    "exactly one variant (reference: _expand_path asserts "
+                    "single-variant in the second pass)"
+                )
+            return variants[0]
+
+        return _HOLE_RE.sub(sub, value)
+    if isinstance(value, Mapping):
+        return {
+            k: _resolve_inner(v, bindings, f"{where}.{k}")
+            for k, v in value.items()
+        }
+    if isinstance(value, list):
+        return [_resolve_inner(v, bindings, where) for v in value]
+    return value
+
+
+def _apply_inner_bindings(raw: dict[str, Any], seq: int) -> dict[str, Any]:
+    """Second expansion phase (reference: schema-level expansion leaves
+    ``$inner`` holes in, then each validator resolves its own
+    ``inner_bindings()`` — __init__.py:94-103,135, schemas/image.py:33-36).
+
+    Rule-level bindings come from (a) an explicit ``inner_bindings:``
+    mapping on the rule and (b) the rule's own hole-free scalar string
+    fields (``column``, ``id``, …), the engine analog of a validator
+    exposing its typed fields — so ``reason: "bad {$column}"`` works
+    without declaring anything. Any hole neither phase binds raises
+    RuleSetError."""
+    raw = dict(raw)
+    inner = type_bindings(raw.pop("inner_bindings", None) or {})
+    for k, v in raw.items():
+        if isinstance(v, str) and not _HOLE_RE.search(v):
+            inner.setdefault(k, Str(v))
+    return {
+        k: _resolve_inner(v, inner, f"rule #{seq} field `{k}`")
+        for k, v in raw.items()
+    }
 
 
 _INT_FIELDS = {"buckets"}
@@ -188,7 +256,12 @@ class RuleSet:
         expanded = list(
             itertools.chain.from_iterable(_expand_rule(r, bindings) for r in gated)
         )
-        return cls([_build_rule(raw, seq) for seq, raw in enumerate(expanded)])
+        return cls(
+            [
+                _build_rule(_apply_inner_bindings(raw, seq), seq)
+                for seq, raw in enumerate(expanded)
+            ]
+        )
 
     @property
     def row_rules(self) -> list[Mdl.Rule]:

@@ -115,29 +115,74 @@ class ResumableValidator:
         tables: Mapping[str, DataFrame] | None = None,
         snapshot_id: str = "-",
     ) -> dict[str, dict]:
-        """Validate all pending partitions; returns {partition: stats}."""
+        """Validate ALL pending partitions in one pass; {partition: stats}.
+
+        One validation covers the whole pending set — the pushed filter is
+        an IN-list on the partition column, so already-validated
+        partitions' files are still never read — and per-partition stats
+        come from ONE aggregation job (row counts full-outer-joined with
+        subject->partition violation counts), followed by ONE manifest
+        append. The previous form looped partitions on the driver: one
+        Spark job (+2 actions) per partition serializes 10^4-10^5 jobs at
+        real partition counts.
+
+        Table rules see the pending set as a whole, which is the stronger
+        contract: cross-partition duplicate keys are now detected, and
+        referential/completeness checks run once instead of per-slice.
+        Violations whose subject does not occur in the pending input
+        (completeness-missing manifest keys) are recorded under the
+        synthetic partition "(global)"."""
         rh = rules_fingerprint(rules_yaml)
         ruleset = RuleSet.from_yaml(rules_yaml)
         pending = self.pending_partitions(df, rules_yaml, snapshot_id)
+        if not pending:
+            return {}
+        part = F.col(self.partition_col).cast("string")
+        sub = df.filter(part.isin(pending))
+        res: ValidationResult = self.engine.validate(sub, ruleset, tables)
+
+        subj = F.col(self.engine.subject_col).cast("string")
+        subj_part = sub.select(
+            subj.alias("subject"), part.alias("partition")
+        ).distinct()
+        viol_by_part = (
+            res.violations.join(subj_part, "subject", "left")
+            .select(
+                F.coalesce("partition", F.lit("(global)")).alias("partition")
+            )
+            .groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+        rows_by_part = sub.groupBy(part.alias("partition")).agg(
+            F.count(F.lit(1)).alias("input_rows")
+        )
+        stats = {
+            r["partition"]: (
+                r["input_rows"] or 0,
+                r["n_violations"] or 0,
+            )
+            for r in rows_by_part.join(
+                viol_by_part, "partition", "full_outer"
+            ).collect()
+        }
+
+        now = datetime.now(timezone.utc)
         results: dict[str, dict] = {}
-        for part in pending:
-            # Pushed-down partition filter: only this partition's files scan.
-            part_df = df.filter(F.col(self.partition_col).cast("string") == part)
-            res: ValidationResult = self.engine.validate(part_df, ruleset, tables)
-            n_violations = res.violations.count()
-            n_rows = part_df.count()
-            record = {
-                "partition": part,
+        for p in sorted(stats):
+            n_rows, n_violations = stats[p]
+            results[p] = {
+                "partition": p,
                 "rules_hash": rh,
                 "input_rows": n_rows,
                 "n_violations": n_violations,
                 "verdict": "PASS" if n_violations == 0 else "FAIL",
                 "engine_version": self.engine_version,
                 "snapshot_id": snapshot_id,
-                "validated_at": datetime.now(timezone.utc),
+                "validated_at": now,
             }
-            self.store.append(
-                self.store.spark.createDataFrame([tuple(record.values())], MANIFEST_SCHEMA)
+        self.store.append(
+            self.store.spark.createDataFrame(
+                [tuple(r.values()) for r in results.values()], MANIFEST_SCHEMA
             )
-            results[part] = record
+        )
         return results

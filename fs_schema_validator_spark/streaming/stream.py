@@ -65,13 +65,19 @@ def validate_stream(
             "batch_id", F.lit(batch_id).cast("bigint")
         )
         if violations_path is not None:
-            violations.write.mode("append").parquet(violations_path)
-            n = None
             if on_batch is not None:
-                n = batch_df.sparkSession.read.parquet(violations_path).filter(
-                    F.col("batch_id") == batch_id
-                ).count()
-                on_batch(batch_id, violations, n)
+                # Count DURING the sink write via the observe API — never
+                # re-read the accumulated sink (its cost grows with total
+                # history per micro-batch).
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                violations.observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                ).write.mode("append").parquet(violations_path)
+                on_batch(batch_id, violations, int(obs.get["n"]))
+            else:
+                violations.write.mode("append").parquet(violations_path)
         elif on_batch is not None:
             on_batch(batch_id, violations, violations.count())
 

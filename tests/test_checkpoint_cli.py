@@ -114,7 +114,7 @@ def test_cli_exit_codes(spark, tmp_path, capsys):
         == 1
     )
     printed = capsys.readouterr().out
-    assert "! doc-" in printed and "cannot be empty" in printed
+    assert "❗️ doc-" in printed and "cannot be empty" in printed
     written = spark.read.parquet(out_path)
     assert written.count() > 0
 
@@ -144,3 +144,48 @@ schema:
         main(["validate", "--rules", str(rules), "--table", table, "-b", "col={}"])
         == 127
     )
+
+
+def test_run_uses_constant_jobs_not_per_partition(spark, validator):
+    """The single-pass run submits O(1) Spark jobs regardless of partition
+    count (the old driver loop submitted 3+ per partition)."""
+    seq = synth.gen_sequences(spark, 40)  # 4 source partitions
+    sc = spark.sparkContext
+    sc.setJobGroup("resumable-run", "single-pass checkpoint run")
+    try:
+        results = validator.run(seq, RULES, snapshot_id="snapJobs")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(results) == 4
+    jobs = sc.statusTracker().getJobIdsForGroup("resumable-run")
+    assert 0 < len(jobs) <= 10, jobs
+
+
+def test_cli_reference_output_contract(spark, tmp_path, capsys, monkeypatch):
+    """Output shape mirrors the reference CLI
+    (/root/reference/fs_schema_validator/__main__.py:76-96): verbose echo
+    + inspected count, sorted ✅ valid subjects, ❗️ failures with indented
+    reasons — and $VALIDATION_SCHEMA_PATH/$VALIDATION_ROOT_DIR supply the
+    defaults like the reference's envvar options."""
+    from fs_schema_validator_spark.plans.cli import main
+
+    table = str(tmp_path / "seq3")
+    synth.corrupt_sequences(synth.gen_sequences(spark, 20), every=10).write.parquet(
+        table
+    )
+    rules = tmp_path / "r.yaml"
+    rules.write_text(RULES)
+    monkeypatch.setenv("VALIDATION_SCHEMA_PATH", str(rules))
+    monkeypatch.setenv("VALIDATION_ROOT_DIR", table)
+
+    assert main(["validate", "--verbose", "--show-valid"]) == 1
+    out = capsys.readouterr().out
+    assert f"Schema path: {rules}" in out
+    assert f"Root dir: {table}" in out
+    assert "Inspected 20 rows." in out
+    valid_lines = [l for l in out.splitlines() if l.startswith("✅ ")]
+    fail_lines = [l for l in out.splitlines() if l.startswith("❗️ ")]
+    assert valid_lines == sorted(valid_lines) and len(valid_lines) > 0
+    assert fail_lines and any("     - " in l for l in out.splitlines())
+    # valid subjects print before the failure block (reference ordering)
+    assert out.index("✅ ") < out.index("❗️ ")

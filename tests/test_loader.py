@@ -67,14 +67,68 @@ schema:
     assert [r.column for r in rs.rules] == ["a", "b"]
 
 
-def test_unbound_binding_is_left_in_place():
-    # Schema-level expansion leaves unbound holes verbatim for a later
-    # binding pass (reference: leave_unbound_vars_in=True at
-    # __init__.py:135); an `if:` guard on an unbound name still raises.
-    rs = RuleSet.from_yaml("schema: [{type: not_empty, column: '{$nope}'}]")
-    assert rs.rules[0].column == "{$nope}"
+def test_unbound_binding_is_a_hard_error_after_both_phases():
+    # Schema-level expansion leaves unbound holes in for the rule-level
+    # (inner_bindings) pass (reference: leave_unbound_vars_in=True at
+    # __init__.py:135 then _expand_path at 94-103); a hole NEITHER phase
+    # binds must not silently become literal text — a misspelled binding
+    # inside a regex would validate garbage.
+    with pytest.raises(RuleSetError, match=r"\$nope.*still unbound"):
+        RuleSet.from_yaml("schema: [{type: not_empty, column: '{$nope}'}]")
     with pytest.raises(UnboundSymbolError):
         RuleSet.from_yaml("schema: [{type: not_empty, column: a, if: $nope == x}]")
+
+
+def test_rule_level_inner_bindings_second_phase():
+    """Two-phase expansion: `$fmt` is not a schema-level binding, so phase 1
+    leaves it in; the rule's own inner_bindings resolve it (the engine
+    analog of ImageSchema.inner_bindings(), schemas/image.py:33-36)."""
+    rs = RuleSet.from_yaml(
+        """
+bindings: {col: source}
+schema:
+  - type: column_spec
+    id: fmt_check
+    column: "{$col}"
+    inner_bindings: {fmt: "src"}
+    spec: {type: str, regex: "^{$fmt}\\\\d{{3}}$"}
+"""
+    )
+    rule = rs.rules[0]
+    assert rule.column == "source"
+    assert rule.spec.regex == r"^src\d{3}$"
+
+
+def test_rule_own_fields_are_implicit_inner_bindings():
+    """A rule's hole-free scalar fields bind implicitly: reason text can
+    reference {$id} / {$column} without declaring anything."""
+    rs = RuleSet.from_yaml(
+        """
+schema:
+  - type: expr
+    id: r1
+    assert: "n_tok > 0"
+    reason: "'assertion {$id} failed'"
+  - type: column_spec
+    id: r2
+    column: "{$id}_col"
+    spec: {type: str}
+"""
+    )
+    assert rs.rules[0].reason_sql == "'assertion r1 failed'"
+    assert rs.rules[1].column == "r2_col"
+
+
+def test_inner_binding_must_be_single_variant():
+    with pytest.raises(RuleSetError, match="exactly one variant"):
+        RuleSet.from_yaml(
+            """
+schema:
+  - type: not_empty
+    inner_bindings: {col: [a, b]}
+    column: "{$col}"
+"""
+        )
 
 
 def test_nested_spec_expands_through_yaml_roundtrip():
