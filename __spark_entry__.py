@@ -801,6 +801,32 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout join (SURVEY §2 stretch): customer and orders are
+    materialized co-bucketed by custkey, so the sort-merge join runs with
+    NO Exchange on either side — the layout the engine's recurring
+    sequences⋈reference_tokens equality join uses at scale. Output is the
+    per-mktsegment order rollup, value-checked against a plain-join
+    DuckDB oracle (identical results, different physical plan)."""
+    from pathlib import Path
+
+    from fs_schema_validator_spark.sources import tables as tbl
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    j = tbl.bucketed_equi_join(
+        spark, cust, orders, "custkey", buckets=16, tag=Path(sf_dir).name
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: plant duplicates, keep-first
     exact dedup, quality gate (length + word shape), language-agreement
@@ -886,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_exact": ann_topk_exact,
         "curation_pipeline": curation_pipeline,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "bucketed_join_stats": bucketed_join_stats,
     }
 
 
@@ -1415,6 +1442,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "ann_topk": _ann_topk_oracle(),
         "ann_topk_ivf": _ANN_IVF_ORACLE,
+        "bucketed_join_stats": (
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+            "round(sum(o_totalprice), 4) AS sum_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
     }
 
 

@@ -109,3 +109,33 @@ def write_bucketed(
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(name)
+
+
+def bucketed_equi_join(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    buckets: int = 16,
+    tag: str = "t",
+) -> DataFrame:
+    """Materialize both sides as co-bucketed tables and return their
+    shuffle-free equality join.
+
+    With identical bucket counts on the join key, Catalyst's sort-merge
+    join reads bucket i of each table in the same task: the executed plan
+    has NO Exchange on either side (asserted in
+    tests/test_operators.py::test_bucketed_join_has_no_exchange and
+    exercised oracle-checked by the driver query `bucketed_join_stats`).
+    The merge hint pins SMJ so a small side doesn't silently take the
+    broadcast path and mask the layout win being demonstrated. At 10^12
+    rows this is the difference between re-shuffling one narrow record
+    per row on every validation run and a co-located scan; the Iceberg
+    equivalent is a `bucket(N, key)` partition transform on both tables."""
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", tag)
+    lt, rt = f"fsv_bkt_{tag}_l", f"fsv_bkt_{tag}_r"
+    write_bucketed(left, lt, [key], buckets)
+    write_bucketed(right, rt, [key], buckets)
+    return spark.table(lt).hint("merge").join(spark.table(rt), key)

@@ -493,3 +493,17 @@ def test_cache_registry_releases_tracked_frames(docs):
     dedup.verify_candidate_pairs(docs, cand, k=3, threshold=0.5).collect()
     assert cache.release_all() >= 1
     assert cache.release_all() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-bucketed tables join with zero Exchange on either side — the
+    shuffle-eliminating layout for the engine's recurring equality join."""
+    from fs_schema_validator_spark.sources import synth, tables as tbl
+
+    seq = synth.gen_sequences(spark, 200).select("doc_id", "n_tok")
+    ref = synth.gen_sequences(spark, 200).select("doc_id", "source")
+    j = tbl.bucketed_equi_join(spark, seq, ref, "doc_id", buckets=8, tag="test")
+    assert j.count() == 200
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
