@@ -721,6 +721,63 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.metadata_violations(feats, media)
 
 
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(
+            F.col("doc_id") % 31 == 0, F.encode(F.lit("GARBAGE"), "utf-8")
+        )
+        .otherwise(
+            F.encode(
+                F.format_string(
+                    "IMG:%dx%d:payload-%d",
+                    (F.col("doc_id") % 64 + 1).cast("int"),
+                    (F.col("doc_id") % 48 + 1).cast("int"),
+                    F.col("doc_id"),
+                ),
+                "utf-8",
+            )
+        )
+        .alias("payload"),
+        F.lit("image").alias("media_type"),
+        (F.col("doc_id") % 64 + 1).cast("int").alias("declared_width"),
+        (F.col("doc_id") % 48 + 1).cast("int").alias("declared_height"),
+    )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing, fully oracle-checked: the deterministic FakeCodec
+    re-emits the container with target dims + md5(payload), which DuckDB
+    replays as string math; undecodable payloads pass through ok=false."""
+    from fs_schema_validator_spark.operators import multimodal
+
+    media = _media_table(spark, sf_dir)
+    out = multimodal.resize(media, target_width=8, target_height=6)
+    return out.select(
+        "media_id",
+        "ok",
+        "width",
+        "height",
+        F.decode(F.col("payload"), "utf-8").alias("resized"),
+    )
+
+
+def skew_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe holistic aggregation (SURVEY §2.3 J4): salted two-stage
+    collect_list + count by lang — the hot key spreads over salt_buckets
+    tasks in stage 1, stage 2 merges partials. Output is salt-invariant
+    (sorted list), so a plain-groupBy DuckDB oracle value-checks it."""
+    from fs_schema_validator_spark.functions import skew
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = skew.salted_count(docs, ["lang"], salt_buckets=16)
+    lists = skew.salted_collect_list(
+        docs, ["lang"], "doc_id", salt_buckets=16
+    ).withColumnRenamed("values", "doc_ids")
+    return counts.join(lists, "lang")
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing (every-10th frame of a synthetic
     container); fully oracle-checked because the fake decode is
@@ -913,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "bucketed_join_stats": bucketed_join_stats,
+        "multimodal_resize": multimodal_resize,
+        "skew_salted_stats": skew_salted_stats,
     }
 
 
@@ -1243,8 +1302,9 @@ def oracle_sql() -> dict[str, str]:
             "AS jaccard "
             "FROM d a JOIN d b ON a.doc_id < b.doc_id "
             "AND least(a.n, b.n) >= greatest(a.n, b.n) * 0.5 "
-            "WHERE len(list_intersect(a.sh, b.sh)) / "
-            "CAST(a.n + b.n - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5"
+            "WHERE round(len(list_intersect(a.sh, b.sh)) / "
+            "CAST(a.n + b.n - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 4) "
+            ">= 0.5"
         ),
         "cosine_scores_all": (
             # embeddings are fixed 64-dim, so the series bound is constant
@@ -1390,8 +1450,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(a.n + b.n - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 4) "
             "AS jaccard "
             "FROM d a JOIN d b ON a.doc_id < b.doc_id "
-            "WHERE len(list_intersect(a.sh, b.sh)) / "
-            "CAST(a.n + b.n - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5"
+            "WHERE round(len(list_intersect(a.sh, b.sh)) / "
+            "CAST(a.n + b.n - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 4) "
+            ">= 0.5"
         ),
         "drift_ks": (
             "WITH h AS (SELECT lang AS grp, least(11, greatest(0, "
@@ -1447,6 +1508,22 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(o_totalprice), 4) AS sum_price "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        "multimodal_resize": (
+            "WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            "CASE WHEN doc_id % 31 = 0 THEN 'GARBAGE' "
+            "ELSE 'IMG:' || (doc_id % 64 + 1) || 'x' || (doc_id % 48 + 1) "
+            "|| ':payload-' || doc_id END AS payload FROM documents) "
+            "SELECT media_id, (payload LIKE 'IMG:%') AS ok, "
+            "CAST(8 AS INT) AS width, CAST(6 AS INT) AS height, "
+            "CASE WHEN payload LIKE 'IMG:%' "
+            "THEN 'IMG:8x6:' || md5(payload) ELSE NULL END AS resized "
+            "FROM m"
+        ),
+        "skew_salted_stats": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "list(doc_id ORDER BY doc_id) AS doc_ids "
+            "FROM documents GROUP BY lang"
         ),
     }
 

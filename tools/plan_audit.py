@@ -65,6 +65,10 @@ def audit(name: str, df, expectations: dict[str, object]) -> tuple[str, list[str
             got = broadcasts > 0 if want else broadcasts == 0
         elif key == "max_exchanges":
             got = exchanges <= want
+        elif key == "plan_contains":
+            got = want in txt
+        elif key == "plan_excludes":
+            got = want not in txt
         else:
             continue
         status = "PASS" if got else "FAIL"
@@ -180,6 +184,50 @@ def main() -> None:
             "drift_ks (bucketed KS vs global)",
             qs["drift_ks"](spark, SF_DIR),
             {"schema_excludes": "text", "has_broadcast": True},
+        )
+    )
+    # kernelized signatures: single pruned scan straight into mapInArrow,
+    # zero shuffles
+    sections.append(
+        audit(
+            "simhash_sigs (Arrow bit-vote kernel, one scan)",
+            qs["simhash_sigs"](spark, SF_DIR),
+            {"max_scans": 1, "max_exchanges": 0, "schema_excludes": "lang",
+             "plan_contains": "MapInArrow"},
+        )
+    )
+    sections.append(
+        audit(
+            "rolling_fingerprints (O(n) rolling-hash kernel, one scan)",
+            qs["rolling_fingerprints"](spark, SF_DIR),
+            {"max_scans": 1, "max_exchanges": 0,
+             "plan_contains": "MapInArrow"},
+        )
+    )
+    # portable banding: explode -> groupBy on band tuples -> in-expression
+    # pair expansion -> distinct; no self-join anywhere
+    sections.append(
+        audit(
+            "minhash_lsh_pairs (banding groupBy, no self-join)",
+            qs["minhash_lsh_pairs"](spark, SF_DIR),
+            {"max_scans": 1, "max_exchanges": 3,
+             "plan_excludes": "SortMergeJoin"},
+        )
+    )
+    # co-bucketed join: sort-merge with no Exchange below the aggregation
+    sections.append(
+        audit(
+            "bucketed_join_stats (co-bucketed SMJ, join side shuffle-free)",
+            qs["bucketed_join_stats"](spark, SF_DIR),
+            {"max_exchanges": 1, "plan_contains": "SortMergeJoin"},
+        )
+    )
+    # salted two-stage holistic agg: partial on (group, salt), final merge
+    sections.append(
+        audit(
+            "skew_salted_stats (salted two-stage agg)",
+            qs["skew_salted_stats"](spark, SF_DIR),
+            {"schema_excludes": "text", "plan_excludes": "CartesianProduct"},
         )
     )
 
