@@ -189,3 +189,33 @@ def test_cli_reference_output_contract(spark, tmp_path, capsys, monkeypatch):
     assert fail_lines and any("     - " in l for l in out.splitlines())
     # valid subjects print before the failure block (reference ordering)
     assert out.index("✅ ") < out.index("❗️ ")
+
+
+def test_run_records_orphan_violations_under_global(spark, tmp_path):
+    """Completeness-missing subjects don't exist in the input, so their
+    violations can't map to a partition: they land under '(global)'."""
+    store = ParquetManifestStore(spark, str(tmp_path / "manifest_g"))
+    v = ResumableValidator(
+        ValidationEngine(subject_col="doc_id"), store, partition_col="source"
+    )
+    seq = synth.gen_sequences(spark, 20)
+    manifest = synth.gen_expected_manifest(spark, 20, extra=3)
+    rules = """
+schema:
+  - type: not_empty
+    column: tokens
+  - type: completeness
+    id: manifest_complete
+    manifest: expected_manifest
+    key: doc_id
+"""
+    results = v.run(
+        seq, rules, tables={"expected_manifest": manifest}, snapshot_id="sG"
+    )
+    assert "(global)" in results
+    assert results["(global)"]["n_violations"] == 3  # the 3 extra keys
+    assert results["(global)"]["input_rows"] == 0
+    # real partitions still get their own rows
+    assert {p for p in results if p != "(global)"} == {
+        "cc", "wiki", "code", "books"
+    }

@@ -1,0 +1,122 @@
+"""Hypothesis property tests for the round-2 Arrow kernels: each kernel is
+checked against a direct Python re-implementation of its specification on
+randomized inputs (no Spark session needed — pure pyarrow/NumPy)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fs_schema_validator_spark.functions.arrays import (
+    minhash_mix_mod_kernel,
+    rolling_hash_kernel,
+    simhash_kernel,
+)
+from fs_schema_validator_spark.operators.dedup import (
+    MH31_MOD,
+    minhash31_constants,
+)
+
+# printable-ish text incl. whitespace runs and BMP non-ASCII
+_text = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FF),
+    max_size=60,
+)
+
+
+def _naive_poly(codes, k=None, base=31, mod=2147483647, seed=7):
+    h = seed
+    for c in codes:
+        h = (h * base + c) % mod
+    return h
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), _text), min_size=1, max_size=25))
+def test_rolling_hash_kernel_property(texts):
+    whole, mink = rolling_hash_kernel(pa.array(texts, type=pa.string()), k=4)
+    for i, t in enumerate(texts):
+        codes = [] if t is None else [ord(c) for c in t]
+        w = _naive_poly(codes)
+        assert whole[i] == w, (t, whole[i], w)
+        if len(codes) < 4:
+            assert mink[i] == w
+        else:
+            m = min(
+                _naive_poly(codes[j : j + 4]) for j in range(len(codes) - 3)
+            )
+            assert mink[i] == m, t
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.integers(min_value=0, max_value=(1 << 60) - 1), max_size=20
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_simhash_kernel_property(rows):
+    got = simhash_kernel(pa.array(rows, type=pa.list_(pa.int64())), bits=60)
+    for i, hs in enumerate(rows):
+        if not hs:
+            assert got[i] == 0
+            continue
+        want = 0
+        for b in range(60):
+            if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0:
+                want |= 1 << b
+        assert got[i] == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.integers(min_value=0, max_value=MH31_MOD - 1), max_size=15
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_minhash_mod_kernel_property(rows, num_perm):
+    consts = minhash31_constants(num_perm)
+    sig = minhash_mix_mod_kernel(
+        pa.array(rows, type=pa.list_(pa.int64())), consts, MH31_MOD
+    )
+    for i, hs in enumerate(rows):
+        for p, (a, b) in enumerate(consts):
+            if not hs:
+                assert sig[i][p] == MH31_MOD  # sentinel for empty rows
+            else:
+                assert sig[i][p] == min((a * x + b) % MH31_MOD for x in hs)
+
+
+def test_minhash_constants_are_deterministic_and_valid():
+    c1 = minhash31_constants(64)
+    c2 = minhash31_constants(64)
+    assert c1 == c2
+    assert all(1 <= a < MH31_MOD and 0 <= b < MH31_MOD for a, b in c1)
+    assert len({a for a, _ in c1}) > 60  # no degenerate repeats
+
+
+def test_rolling_hash_kernel_sliced_array():
+    """Kernels must honor pa.Array offsets (sliced record batches)."""
+    texts = ["aaaa", "bbbb", "cccc", "dddd"]
+    full = pa.array(texts, type=pa.string())
+    sliced = full.slice(1, 2)
+    w_full, m_full = rolling_hash_kernel(full, k=2)
+    w_sl, m_sl = rolling_hash_kernel(sliced, k=2)
+    assert list(w_sl) == list(w_full[1:3])
+    assert list(m_sl) == list(m_full[1:3])
