@@ -543,9 +543,16 @@ def simhash_signatures(
     return df.select("doc_id", F.coalesce(sig, F.lit(0)).alias("simhash"))
 
 
-def simhash_candidates(signatures: DataFrame, band_bits: int = 15) -> DataFrame:
+def simhash_candidates(
+    signatures: DataFrame, band_bits: int = 15, max_bucket: int | None = 512
+) -> DataFrame:
     """Near-dup candidates: docs sharing any band_bits-wide band of the
-    (60-bit) simhash — 4 bands of 15 bits by default."""
+    (60-bit) simhash — 4 bands of 15 bits by default.
+
+    Same bucket-wise expansion as the MinHash path (bucket_pairs): one
+    groupBy on (band, chunk), in-expression pair generation, hot-bucket
+    cap — no self-join (the banded self-join shuffles the table twice and
+    has the same O(m²) hot-bucket blow-up the cap exists to prevent)."""
     bands = PORTABLE_HASH_BITS // band_bits
     banded = signatures.select(
         "doc_id",
@@ -563,14 +570,6 @@ def simhash_candidates(signatures: DataFrame, band_bits: int = 15) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.chunk")
-    l, r = banded.alias("l"), banded.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
+    return bucket_pairs(
+        banded, ["band", "chunk"], "doc_id", "doc_a", "doc_b", max_bucket
     )
