@@ -884,6 +884,65 @@ def bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine extension, no reference analog): every event is
+    enriched with the latest 'mark' event (event_id % 37 == 0) at or
+    before its timestamp per user — the union+window carry-forward
+    formulation (one shuffle, no range probe; operators/joins.py) checked
+    against DuckDB's native ASOF LEFT JOIN."""
+    from fs_schema_validator_spark.operators import joins
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("event_id", "user_id", "ts")
+    )
+    marks = (
+        ev.filter(F.col("event_id") % 37 == 0)
+        .groupBy("user_id", F.col("ts").alias("mts"))
+        .agg(F.max("event_id").alias("mark_id"))
+    )
+    out = joins.asof_join(ev, marks, on="user_id", left_ts="ts", right_ts="mts")
+    return out.select(
+        "event_id", "user_id", F.col("asof_mark_id").alias("mark_id")
+    )
+
+
+def range_join_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via fixed-width overlap buckets (equi-join,
+    not BroadcastNestedLoop): documents assigned to every overlapping
+    length band [i*25, i*25+60]."""
+    from fs_schema_validator_spark.operators import joins
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("p")
+    )
+    iv = spark.range(20).select(
+        F.col("id").alias("interval_id"),
+        (F.col("id") * 25).cast("double").alias("lo"),
+        (F.col("id") * 25 + 60).cast("double").alias("hi"),
+    )
+    out = joins.bucketed_range_join(docs, iv, "p", "lo", "hi", bucket_width=50.0)
+    return out.select("doc_id", "interval_id")
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (iterative min-label
+    propagation, operators/graph.py) over the oracle-replayable MinHash-LSH
+    candidate pairs — the step that turns pair lists into keep/drop
+    verdicts. DuckDB replays the component labels with a recursive
+    transitive-closure CTE over the same pairs."""
+    from fs_schema_validator_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = dedup.minhash_signatures_portable(docs, k=3, num_perm=64)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, bands=16, rows_per_band=4, bucket="tuple"
+    )
+    cc = graph.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster")
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: plant duplicates, keep-first
     exact dedup, quality gate (length + word shape), language-agreement
@@ -972,6 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_stats": bucketed_join_stats,
         "multimodal_resize": multimodal_resize,
         "skew_salted_stats": skew_salted_stats,
+        "asof_join_marks": asof_join_marks,
+        "range_join_sizes": range_join_sizes,
+        "dedup_clusters": dedup_clusters,
     }
 
 
@@ -1525,6 +1587,31 @@ def oracle_sql() -> dict[str, str]:
             "list(doc_id ORDER BY doc_id) AS doc_ids "
             "FROM documents GROUP BY lang"
         ),
+        "asof_join_marks": (
+            "WITH e AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE user_id < 40), "
+            "m AS (SELECT user_id, ts, CAST(max(event_id) AS BIGINT) "
+            "AS mark_id FROM e WHERE event_id % 37 = 0 GROUP BY user_id, ts) "
+            "SELECT e.event_id, e.user_id, m.mark_id "
+            "FROM e ASOF LEFT JOIN m "
+            "ON e.user_id = m.user_id AND e.ts >= m.ts"
+        ),
+        "range_join_sizes": (
+            "SELECT d.doc_id, CAST(t.i AS BIGINT) AS interval_id "
+            "FROM documents d, range(0, 20) t(i) "
+            "WHERE d.n_chars BETWEEN t.i * 25 AND t.i * 25 + 60"
+        ),
+        "dedup_clusters": f"""
+WITH RECURSIVE
+pairs AS ({_minhash_lsh_oracle()}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
+FROM reach GROUP BY a
+""",
     }
 
 

@@ -58,6 +58,9 @@ HEADLINE = [
     "ann_topk_ivf",
     "array_mismatch_index",
     "curation_pipeline",
+    "asof_join_marks",
+    "range_join_sizes",
+    "dedup_clusters",
 ]
 
 SEQ_RULES = r"""

@@ -507,3 +507,89 @@ def test_bucketed_join_has_no_exchange(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_asof_join_semantics(spark):
+    from fs_schema_validator_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 10:00:00"),
+         (2, "u", "2024-01-01 10:05:00"),
+         (3, "u", "2024-01-01 09:00:00"),   # before any mark
+         (4, "v", "2024-01-01 10:10:00")],
+        "id bigint, k string, ts string",
+    ).select("id", "k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", 100),  # equal ts matches (backward)
+         ("u", "2024-01-01 10:04:00", 101),
+         ("v", "2024-01-01 08:00:00", 200)],
+        "k string, mts string, mark bigint",
+    ).select("k", F.col("mts").cast("timestamp").alias("mts"), "mark")
+    out = {
+        r.id: r.asof_mark
+        for r in joins.asof_join(left, right, "k", "ts", "mts").collect()
+    }
+    assert out == {1: 100, 2: 101, 3: None, 4: 200}
+    # tolerance: v's mark is >2h stale -> nulled
+    tol = {
+        r.id: r.asof_mark
+        for r in joins.asof_join(
+            left, right, "k", "ts", "mts", tolerance_sec=3600
+        ).collect()
+    }
+    assert tol == {1: 100, 2: 101, 3: None, 4: None}
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    from fs_schema_validator_spark.operators import joins
+
+    pts = spark.createDataFrame(
+        [(i, float(i * 7 % 100)) for i in range(60)], "pid bigint, p double"
+    )
+    iv = spark.createDataFrame(
+        [(j, float(j * 10 - 5), float(j * 10 + 12)) for j in range(11)],
+        "iid bigint, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in joins.bucketed_range_join(pts, iv, "p", "lo", "hi", 8.0).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(iv)
+        .filter(F.col("p").between(F.col("lo"), F.col("hi")))
+        .collect()
+    }
+    assert got == naive and len(got) > 60  # overlapping bands: multi-match
+
+
+def test_connected_components_and_summary(spark):
+    from fs_schema_validator_spark.operators import graph
+
+    # components: {1..5} as a chain (diameter 4), {10,11}, {20,21,22} star
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (20, 22)],
+        "doc_a bigint, doc_b bigint",
+    )
+    cc = {r.node: r.cluster for r in graph.connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
+                  20: 20, 21: 20, 22: 20}
+    summary = {
+        r.cluster: (r.n_docs, r.keeper, r.dropped)
+        for r in graph.dedup_cluster_summary(edges).collect()
+    }
+    assert summary == {
+        1: (5, 1, [2, 3, 4, 5]),
+        10: (2, 10, [11]),
+        20: (3, 20, [21, 22]),
+    }
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    from fs_schema_validator_spark.operators import graph
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(chain, max_iter=2)
