@@ -943,6 +943,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster")
 
 
+def table_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (operators/profile.py) in exact mode so
+    DuckDB value-checks null/distinct/min/max per column; production runs
+    use exact=False (HLL++) to avoid the multi-distinct Expand blow-up."""
+    from fs_schema_validator_spark.operators import profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile.table_profile(
+        docs, ["doc_id", "lang", "source", "n_chars"], exact=True
+    )
+
+
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-split (train/val/test 8/1/1): assignment is a
+    pure engine-portable function of doc_id, replayed row-for-row by the
+    DuckDB oracle — the leakage-proof split a training pipeline needs."""
+    from fs_schema_validator_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.hash_split(
+        docs, "doc_id", {"train": 8, "val": 1, "test": 1}
+    )
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: plant duplicates, keep-first
     exact dedup, quality gate (length + word shape), language-agreement
@@ -1034,6 +1058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_marks": asof_join_marks,
         "range_join_sizes": range_join_sizes,
         "dedup_clusters": dedup_clusters,
+        "table_profile_documents": table_profile_documents,
+        "split_assignment": split_assignment,
     }
 
 
@@ -1600,6 +1626,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(t.i AS BIGINT) AS interval_id "
             "FROM documents d, range(0, 20) t(i) "
             "WHERE d.n_chars BETWEEN t.i * 25 AND t.i * 25 + 60"
+        ),
+        "table_profile_documents": " UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_nulls, CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS min_value, "
+            f"CAST(max({c}) AS VARCHAR) AS max_value FROM documents"
+            for c in ["doc_id", "lang", "source", "n_chars"]
+        ),
+        "split_assignment": (
+            "WITH b AS (SELECT doc_id, "
+            + _hex15("'split' || CAST(doc_id AS VARCHAR)")
+            + " % 10 AS bucket FROM documents) "
+            "SELECT doc_id, CASE WHEN bucket < 8 THEN 'train' "
+            "WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split FROM b"
         ),
         "dedup_clusters": f"""
 WITH RECURSIVE

@@ -593,3 +593,44 @@ def test_connected_components_raises_on_iteration_cap(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.connected_components(chain, max_iter=2)
+
+
+def test_table_profile_exact_and_approx(spark):
+    from fs_schema_validator_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "id bigint, tag string"
+    )
+    exact = {r.col_name: r for r in profile.table_profile(df, exact=True).collect()}
+    assert exact["id"].n_rows == 4 and exact["id"].n_nulls == 0
+    assert exact["id"].n_distinct == 4
+    assert (exact["id"].min_value, exact["id"].max_value) == ("1", "4")
+    assert exact["tag"].n_nulls == 1 and exact["tag"].n_distinct == 2
+    assert (exact["tag"].min_value, exact["tag"].max_value) == ("a", "b")
+    # approx mode: same shape, distinct within HLL tolerance on tiny input
+    approx = {r.col_name: r for r in profile.table_profile(df).collect()}
+    assert approx["id"].n_distinct == 4
+
+
+def test_hash_split_is_deterministic_and_partition_invariant(spark):
+    from fs_schema_validator_spark.operators import sampling
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 8, "val": 1, "test": 1}
+    a = {r.doc_id: r.split for r in sampling.hash_split(df, "doc_id", w).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(df.repartition(13), "doc_id", w).collect()
+    }
+    assert a == b  # pure function of the id: repartitioning can't move rows
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85  # ~8/10 within tolerance
+    # a different salt reshuffles the assignment
+    c = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(df, "doc_id", w, salt="v2").collect()
+    }
+    assert c != a
