@@ -967,6 +967,19 @@ def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop packing of documents into 2048-char context windows
+    per lang (operators/sampling.pack_offsets): placement is one windowed
+    running sum — no UDF, no sequential state — replayed by the oracle
+    with the same SUM() OVER."""
+    from fs_schema_validator_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.pack_offsets(
+        docs, "n_chars", capacity=2048, group_cols=["lang"], order_col="doc_id"
+    )
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: plant duplicates, keep-first
     exact dedup, quality gate (length + word shape), language-agreement
@@ -1060,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "table_profile_documents": table_profile_documents,
         "split_assignment": split_assignment,
+        "sequence_packing": sequence_packing,
     }
 
 
@@ -1641,6 +1655,17 @@ def oracle_sql() -> dict[str, str]:
             + " % 10 AS bucket FROM documents) "
             "SELECT doc_id, CASE WHEN bucket < 8 THEN 'train' "
             "WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split FROM b"
+        ),
+        "sequence_packing": (
+            "WITH s AS (SELECT doc_id, lang, n_chars, "
+            "CAST(COALESCE(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS st FROM documents) "
+            "SELECT doc_id, lang, n_chars, "
+            "CAST(st // 2048 AS BIGINT) AS start_bin, "
+            "CAST(st % 2048 AS BIGINT) AS start_offset, "
+            "CAST(floor((st + n_chars - 1) / 2048.0) AS BIGINT) AS end_bin "
+            "FROM s"
         ),
         "dedup_clusters": f"""
 WITH RECURSIVE

@@ -29,6 +29,46 @@ def split_bucket(id_col: Column, total: int, salt: str = "split") -> Column:
     return h % total
 
 
+def pack_offsets(
+    df: DataFrame,
+    length_col: str,
+    capacity: int,
+    group_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Concat-and-chop sequence packing (the standard pretraining layout):
+    within each group, documents are laid end-to-end in `order_col` order
+    and sliced into fixed `capacity` windows; each document gets its
+    placement (start_bin, start_offset, end_bin — end inclusive, so a
+    document may straddle bins, exactly like GPT-style packing with
+    cross-document attention masks).
+
+    Pure window arithmetic — one exclusive running sum per group, no UDF,
+    no sequential state — so it scales like any windowed aggregation and
+    the DuckDB oracle replays it with the same SUM() OVER. (Greedy
+    no-split bin packing is intentionally NOT offered as a distributed
+    primitive: its bin boundaries depend on every prior decision, which
+    serializes each group; concat-and-chop is what production pretraining
+    pipelines run.)"""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(length_col).over(w), F.lit(0)).cast("bigint")
+    end = start + F.col(length_col) - 1
+    return df.select(
+        *group_cols,
+        order_col,
+        F.col(length_col),
+        F.floor(start / capacity).cast("bigint").alias("start_bin"),
+        (start % capacity).cast("bigint").alias("start_offset"),
+        F.floor(end / capacity).cast("bigint").alias("end_bin"),
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

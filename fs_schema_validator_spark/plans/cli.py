@@ -74,6 +74,16 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--verbose", "-v", action="store_true")
     v.add_argument("--max-print", type=int, default=50,
                    help="max violation subjects to print")
+    pr = sub.add_parser("profile", help="one-pass column profile of a table")
+    pr.add_argument(
+        "--table",
+        default=os.environ.get("VALIDATION_ROOT_DIR"),
+        help="table path (default: $VALIDATION_ROOT_DIR)",
+    )
+    pr.add_argument("--columns", default=None,
+                    help="comma-separated columns (default: all)")
+    pr.add_argument("--exact", action="store_true",
+                    help="exact distinct counts (default: HLL approx)")
     return p
 
 
@@ -155,10 +165,30 @@ def cmd_validate(args: argparse.Namespace) -> int:
     return 1
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    if not args.table:
+        print("missing --table (or $VALIDATION_ROOT_DIR)", file=sys.stderr)
+        return 2
+    from ..operators.profile import table_profile
+
+    spark = get_spark(app_name="fsv-profile")
+    spark.sparkContext.setLogLevel("WARN")
+    df = spark.read.parquet(args.table)
+    cols = args.columns.split(",") if args.columns else None
+    for row in table_profile(df, cols, exact=args.exact).collect():
+        print(
+            f"{row.col_name}: rows={row.n_rows} nulls={row.n_nulls} "
+            f"distinct={row.n_distinct} min={row.min_value} max={row.max_value}"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "validate":
         return cmd_validate(args)
+    if args.command == "profile":
+        return cmd_profile(args)
     return 2
 
 

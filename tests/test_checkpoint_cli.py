@@ -219,3 +219,15 @@ schema:
     assert {p for p in results if p != "(global)"} == {
         "cc", "wiki", "code", "books"
     }
+
+
+def test_cli_profile_subcommand(spark, tmp_path, capsys):
+    from fs_schema_validator_spark.plans.cli import main
+
+    table = str(tmp_path / "seqp")
+    synth.gen_sequences(spark, 30).write.parquet(table)
+    assert main(["profile", "--table", table, "--columns",
+                 "doc_id,n_tok", "--exact"]) == 0
+    out = capsys.readouterr().out
+    assert "doc_id: rows=30 nulls=0 distinct=30" in out
+    assert "n_tok: rows=30" in out

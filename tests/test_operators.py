@@ -634,3 +634,26 @@ def test_hash_split_is_deterministic_and_partition_invariant(spark):
         for r in sampling.hash_split(df, "doc_id", w, salt="v2").collect()
     }
     assert c != a
+
+
+def test_pack_offsets_concat_and_chop(spark):
+    from fs_schema_validator_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "g", 100), (2, "g", 50), (3, "g", 120), (4, "h", 300)],
+        "doc_id bigint, grp string, n bigint",
+    )
+    got = {
+        r.doc_id: (r.start_bin, r.start_offset, r.end_bin)
+        for r in sampling.pack_offsets(
+            df, "n", capacity=128, group_cols=["grp"], order_col="doc_id"
+        ).collect()
+    }
+    # g: doc1 [0,100) bin0; doc2 [100,150) straddles 0->1; doc3 [150,270)
+    # bins 1->2; h restarts at 0: [0,300) bins 0->2
+    assert got == {
+        1: (0, 0, 0),
+        2: (0, 100, 1),
+        3: (1, 22, 2),
+        4: (0, 0, 2),
+    }
