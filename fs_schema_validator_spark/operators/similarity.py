@@ -242,6 +242,77 @@ def lsh_bucketed_topk(
     return topk_cosine(candidates, query, k, vec_col, id_col)
 
 
+def write_ann_index(
+    spark,
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    table: str = "fsv_ann_index",
+    buckets: int = 32,
+) -> str:
+    """Materialize the LSH-bucketed ANN layout: vectors + their packed
+    hyperplane signature, written as a table BUCKETED BY the signature.
+
+    This is the storage half of the `lsh_bucketed_topk` docstring's scale
+    claim, made real: a probe's `_sig IN (...)` filter prunes buckets at
+    the SCAN (the executed plan shows `SelectedBucketsCount: p of N`), so
+    a query touches ~probes/2^n_planes of the files instead of filtering
+    after a full scan. Signatures come from the BLAS kernel; the Iceberg
+    equivalent is a `bucket(N, _sig)` partition transform."""
+    from ..functions.arrays import hyperplane_band_chunks_arrow
+    from ..sources.tables import write_bucketed
+
+    planes = _projection_matrix(dim, n_planes, seed)
+    sigs = hyperplane_band_chunks_arrow(df, planes, 1, vec_col, id_col).select(
+        id_col, F.element_at(F.col("chunks"), 1).alias("_sig")
+    )
+    indexed = df.join(sigs, id_col)
+    write_bucketed(indexed, table, ["_sig"], buckets=buckets, sort=False)
+    return table
+
+
+def topk_from_index(
+    spark,
+    table: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    probes: int = 9,
+) -> DataFrame:
+    """Approximate top-k against a `write_ann_index` table: the probe-set
+    IN filter on `_sig` hits the bucketed layout, so only the probed
+    buckets' files are scanned (`SelectedBucketsCount: p out of N` in the
+    executed plan).
+
+    Note: Spark's DisableUnnecessaryBucketedScan planner rule drops the
+    bucketed scan for plans with no distribution requirement — which also
+    drops FILE pruning and leaves only row-group filter pushdown. Probe
+    queries are exactly the case where pruning matters, so this session
+    flag pins it off (a cluster deployment sets it in spark-submit conf)."""
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    planes = _projection_matrix(len(query), n_planes, seed)
+    qsig = 0
+    margins = []
+    for i, plane in enumerate(planes):
+        d = sum(a * b for a, b in zip(query, plane))
+        margins.append((abs(d), i))
+        if d >= 0:
+            qsig |= 1 << i
+    probe_sigs = [qsig] + [
+        qsig ^ (1 << i) for _, i in sorted(margins)[: max(0, probes - 1)]
+    ]
+    candidates = spark.table(table).filter(F.col("_sig").isin(probe_sigs))
+    return topk_cosine(candidates, query, k, vec_col, id_col)
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],

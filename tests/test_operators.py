@@ -657,3 +657,29 @@ def test_pack_offsets_concat_and_chop(spark):
         3: (1, 22, 2),
         4: (0, 0, 2),
     }
+
+
+def test_ann_index_bucket_pruning(spark):
+    """The materialized LSH index prunes buckets at the scan: the probe
+    filter's executed plan selects only the probed buckets, and results
+    equal the in-flight lsh_bucketed_topk."""
+    import math
+
+    rows = [(i, [math.sin(i * 0.37 + d) for d in range(16)]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    query = [math.sin(7 * 0.37 + d) for d in range(16)]
+
+    similarity.write_ann_index(
+        spark, emb, dim=16, n_planes=6, table="fsv_ann_test", buckets=16
+    )
+    got = similarity.topk_from_index(
+        spark, "fsv_ann_test", query, k=5, n_planes=6, probes=7
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan, plan
+    live = similarity.lsh_bucketed_topk(
+        emb, query, k=5, n_planes=6, probes=7
+    )
+    assert [(r.vec_id, r.cos) for r in got.collect()] == [
+        (r.vec_id, r.cos) for r in live.collect()
+    ]
