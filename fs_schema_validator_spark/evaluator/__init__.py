@@ -54,6 +54,7 @@ def expand(
     s: str,
     bindings: Bindings | None = None,
     leave_unbound_vars_in: bool = False,
+    unbound: set | None = None,
 ) -> Iterator[str]:
     """Expand a template into every concrete string it denotes.
 
@@ -61,11 +62,18 @@ def expand(
     ascending); the result is the Cartesian product joined in place. With
     ``leave_unbound_vars_in=True`` an unbound ``$name`` hole re-renders
     itself verbatim (first pass of the two-phase schema-level /
-    validator-level binding expansion).
+    validator-level binding expansion); pass a ``unbound`` set to collect
+    the names of holes that were left in (escaped ``{{...}}`` literals are
+    NOT reported — they were never holes).
     """
     bindings = bindings or {}
     fragments = parse_template(s)
-    pools = [frag.expand(bindings, leave_unbound_vars_in) for frag in fragments]
+    pools = [
+        frag.expand(bindings, leave_unbound_vars_in, unbound=unbound)
+        if isinstance(frag, Hole)
+        else frag.expand(bindings, leave_unbound_vars_in)
+        for frag in fragments
+    ]
     return ("".join(parts) for parts in itertools.product(*pools))
 
 

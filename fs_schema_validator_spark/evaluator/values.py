@@ -142,7 +142,12 @@ class Hole:
     value: Union[BindingRef, RangeVal, EnumVal]
     fmt: str | None = None
 
-    def expand(self, bindings: "Bindings", leave_unbound: bool = False) -> Iterator[str]:
+    def expand(
+        self,
+        bindings: "Bindings",
+        leave_unbound: bool = False,
+        unbound: set | None = None,
+    ) -> Iterator[str]:
         try:
             # Materialize eagerly so UnboundSymbolError surfaces here, not
             # lazily inside the consumer's product loop.
@@ -151,7 +156,12 @@ class Hole:
             if not leave_unbound:
                 raise
             # Two-phase expansion: leave the hole in, verbatim, for a later
-            # pass with validator-level inner bindings.
+            # pass with validator-level inner bindings. Report the name to
+            # the caller's collector so the second pass can distinguish a
+            # genuinely-unbound hole from identical-looking literal text
+            # produced by the {{...}} escape.
+            if unbound is not None and isinstance(self.value, BindingRef):
+                unbound.add(self.value.name)
             return iter([str(self)])
 
     def __str__(self) -> str:

@@ -51,7 +51,13 @@ def _fixed_dim_matrix(
 
 
 def _list_views(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Return (starts, lengths, values, validity) NumPy views of a ListArray."""
+    """Return (starts, lengths, values, validity) NumPy views of a ListArray.
+
+    `values` is truncated to the logical span [offsets[0], offsets[-1]) and
+    `starts` rebased to it: a SLICED ListArray shares the full child values
+    buffer, and a segment reduction (reduceat) whose final segment ran to
+    the end of the child would absorb values belonging to rows past the
+    slice (and leading values before it would shift every segment)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -62,6 +68,9 @@ def _list_views(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.n
         # values buffer has nulls (containsNull arrays) — one copy, still
         # vectorized; NaN sentinel keeps comparisons well-defined.
         values = arr.values.to_numpy(zero_copy_only=False)
+    if len(offsets):
+        values = values[offsets[0] : offsets[-1]]
+        starts = starts - offsets[0]
     if arr.null_count:
         validity = np.asarray(arr.is_valid())
     else:

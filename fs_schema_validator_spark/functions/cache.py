@@ -13,6 +13,14 @@ consuming action::
 
 At cluster scale the same seam is where you would swap the cache for a
 materialized intermediate table between stages.
+
+Scope caveat: the registry is process-global and release_all() unpersists
+EVERYTHING tracked — it is built for the serial run-query-then-release
+loop (bench, CLI, driver). Interleaved pipelines sharing a session should
+release at their own pipeline boundaries only, or materialize candidates
+to tables instead; entries do hold references until released, so a
+long-lived service that never calls release_all() reintroduces the very
+accumulation this module exists to prevent.
 """
 
 from __future__ import annotations

@@ -56,8 +56,13 @@ def salted_count(
     df: DataFrame, group_cols: list[str], salt_buckets: int = 16
 ) -> DataFrame:
     """Two-stage count by group (illustrative: counts partial-agg natively;
-    this form is the template for aggregates that do not)."""
-    salted = with_salt(df.select(*group_cols), salt_buckets)
+    this form is the template for aggregates that do not).
+
+    The salt is hashed from the FULL row before projecting to the group
+    columns — salting the group key alone would give every row of a hot
+    key the same salt, leaving stage 1 exactly as skewed as a plain
+    groupBy."""
+    salted = with_salt(df, salt_buckets).select(*group_cols, "_salt")
     partial = salted.groupBy(*group_cols, "_salt").agg(
         F.count(F.lit(1)).alias("_n")
     )

@@ -553,6 +553,12 @@ def simhash_candidates(
     groupBy on (band, chunk), in-expression pair generation, hot-bucket
     cap — no self-join (the banded self-join shuffles the table twice and
     has the same O(m²) hot-bucket blow-up the cap exists to prevent)."""
+    if PORTABLE_HASH_BITS % band_bits != 0:
+        raise ValueError(
+            f"band_bits must divide {PORTABLE_HASH_BITS} (got {band_bits}); "
+            "a non-divisor would silently leave the top signature bits out "
+            "of every band"
+        )
     bands = PORTABLE_HASH_BITS // band_bits
     banded = signatures.select(
         "doc_id",

@@ -40,8 +40,16 @@ def connected_components(
     rounds (a diameter-`max_iter` component — raise the bound or use the
     star-contraction variant)."""
     a, b = F.col(src).alias("a"), F.col(dst).alias("b")
-    und = edges.select(a, b).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    und = (
+        edges.select(a, b)
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        # materialize the edge list ONCE: it is consumed by every round's
+        # neighbor join, and its lineage is typically the whole candidate
+        # pipeline (LSH banding over the corpus) — without this each round
+        # re-executes that pipeline
+        .localCheckpoint(eager=True)
     )
     labels = (
         und.select(F.col("a").alias("node"))

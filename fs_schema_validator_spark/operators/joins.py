@@ -46,6 +46,10 @@ def asof_join(
     Returns all left columns plus the right's value columns (right_ts
     included, prefixed ``asof_``)."""
     rcols = [c for c in right.columns if c not in (on, right_ts)]
+    # a null right timestamp would sort FIRST (nulls-first asc) and its
+    # values would carry forward into left rows with no real match —
+    # phantom matches with a null asof_ts; drop such rows up front
+    right = right.filter(F.col(right_ts).isNotNull())
     tagged_r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),

@@ -170,10 +170,11 @@ def cmd_profile(args: argparse.Namespace) -> int:
         print("missing --table (or $VALIDATION_ROOT_DIR)", file=sys.stderr)
         return 2
     from ..operators.profile import table_profile
+    from ..sources.tables import load_table
 
     spark = get_spark(app_name="fsv-profile")
     spark.sparkContext.setLogLevel("WARN")
-    df = spark.read.parquet(args.table)
+    df = load_table(spark, args.table)
     cols = args.columns.split(",") if args.columns else None
     for row in table_profile(df, cols, exact=args.exact).collect():
         print(

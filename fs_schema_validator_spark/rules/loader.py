@@ -70,15 +70,26 @@ def _filter_by_guards(
         yield rule
 
 
-def _expand_value(value: Any, bindings: Bindings) -> list[Any]:
+def _expand_value(
+    value: Any, bindings: Bindings, unbound: set | None = None
+) -> list[Any]:
     """Expand one field value; non-strings roundtrip through YAML text so
-    nested specs see the same template semantics (single-variant only)."""
+    nested specs see the same template semantics (single-variant only).
+    `unbound` collects names of holes left in for the second pass."""
     if isinstance(value, str):
-        return list(evaluator.expand(value, bindings, leave_unbound_vars_in=True))
+        return list(
+            evaluator.expand(
+                value, bindings, leave_unbound_vars_in=True, unbound=unbound
+            )
+        )
     if isinstance(value, (int, float, bool)) or value is None:
         return [value]
     text = yaml.safe_dump(value)
-    expanded = list(evaluator.expand(text, bindings, leave_unbound_vars_in=True))
+    expanded = list(
+        evaluator.expand(
+            text, bindings, leave_unbound_vars_in=True, unbound=unbound
+        )
+    )
     if len(expanded) != 1:
         raise RuleSetError(
             "a nested rule field cannot expand to more than one variant"
@@ -86,12 +97,19 @@ def _expand_value(value: Any, bindings: Bindings) -> list[Any]:
     return [yaml.safe_load(StringIO(expanded[0]))]
 
 
-def _expand_rule(rule: dict[str, Any], bindings: Bindings) -> Iterator[dict[str, Any]]:
-    pools = [
-        [(key, v) for v in _expand_value(value, bindings)]
-        for key, value in rule.items()
-    ]
-    return (dict(combo) for combo in itertools.product(*pools))
+def _expand_rule(
+    rule: dict[str, Any], bindings: Bindings
+) -> Iterator[tuple[dict[str, Any], frozenset]]:
+    """Yield (expanded rule dict, keys that still hold unbound holes)."""
+    pools = []
+    open_keys = set()
+    for key, value in rule.items():
+        unbound: set = set()
+        pools.append([(key, v) for v in _expand_value(value, bindings, unbound)])
+        if unbound:
+            open_keys.add(key)
+    frozen = frozenset(open_keys)
+    return ((dict(combo), frozen) for combo in itertools.product(*pools))
 
 
 # a leftover unbound hole, exactly as Hole.__str__ re-renders it in phase 1
@@ -139,7 +157,9 @@ def _resolve_inner(value: Any, bindings: Bindings, where: str) -> Any:
     return value
 
 
-def _apply_inner_bindings(raw: dict[str, Any], seq: int) -> dict[str, Any]:
+def _apply_inner_bindings(
+    raw: dict[str, Any], seq: int, open_keys: frozenset
+) -> dict[str, Any]:
     """Second expansion phase (reference: schema-level expansion leaves
     ``$inner`` holes in, then each validator resolves its own
     ``inner_bindings()`` — __init__.py:94-103,135, schemas/image.py:33-36).
@@ -149,14 +169,28 @@ def _apply_inner_bindings(raw: dict[str, Any], seq: int) -> dict[str, Any]:
     fields (``column``, ``id``, …), the engine analog of a validator
     exposing its typed fields — so ``reason: "bad {$column}"`` works
     without declaring anything. Any hole neither phase binds raises
-    RuleSetError."""
+    RuleSetError.
+
+    Only fields in `open_keys` — those phase 1 REPORTED as containing a
+    genuinely unbound hole — are touched: literal ``{$x}`` text produced
+    by the ``{{...}}`` escape is indistinguishable from a hole in the
+    rendered string, so phase-1's collector is the source of truth and
+    escaped text passes through untouched. (A field containing BOTH an
+    unbound hole and escaped ``{{$y}}`` text is the one remaining
+    ambiguity; declare such literals via a binding instead.)"""
     raw = dict(raw)
     inner = type_bindings(raw.pop("inner_bindings", None) or {})
+    if not open_keys:
+        return raw
     for k, v in raw.items():
-        if isinstance(v, str) and not _HOLE_RE.search(v):
+        if isinstance(v, str) and k not in open_keys:
             inner.setdefault(k, Str(v))
     return {
-        k: _resolve_inner(v, inner, f"rule #{seq} field `{k}`")
+        k: (
+            _resolve_inner(v, inner, f"rule #{seq} field `{k}`")
+            if k in open_keys
+            else v
+        )
         for k, v in raw.items()
     }
 
@@ -258,8 +292,8 @@ class RuleSet:
         )
         return cls(
             [
-                _build_rule(_apply_inner_bindings(raw, seq), seq)
-                for seq, raw in enumerate(expanded)
+                _build_rule(_apply_inner_bindings(raw, seq, open_keys), seq)
+                for seq, (raw, open_keys) in enumerate(expanded)
             ]
         )
 

@@ -129,7 +129,12 @@ class ResumableValidator:
         Table rules see the pending set as a whole, which is the stronger
         contract: cross-partition duplicate keys are now detected, and
         referential/completeness checks run once instead of per-slice.
-        Violations whose subject does not occur in the pending input
+        Every violation is counted EXACTLY ONCE: it is attributed to the
+        minimum partition containing its subject (a subject normally lives
+        in one partition; a subject spanning several — itself an anomaly —
+        does not inflate the other partitions' counts, and the sum of
+        per-partition n_violations always equals the total). Violations
+        whose subject does not occur in the pending input
         (completeness-missing manifest keys) are recorded under the
         synthetic partition "(global)"."""
         rh = rules_fingerprint(rules_yaml)
@@ -142,9 +147,11 @@ class ResumableValidator:
         res: ValidationResult = self.engine.validate(sub, ruleset, tables)
 
         subj = F.col(self.engine.subject_col).cast("string")
-        subj_part = sub.select(
-            subj.alias("subject"), part.alias("partition")
-        ).distinct()
+        subj_part = (
+            sub.select(subj.alias("subject"), part.alias("partition"))
+            .groupBy("subject")
+            .agg(F.min("partition").alias("partition"))
+        )
         viol_by_part = (
             res.violations.join(subj_part, "subject", "left")
             .select(

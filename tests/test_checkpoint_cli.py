@@ -231,3 +231,30 @@ def test_cli_profile_subcommand(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "doc_id: rows=30 nulls=0 distinct=30" in out
     assert "n_tok: rows=30" in out
+
+
+def test_run_counts_each_violation_exactly_once(spark, tmp_path):
+    """A subject spanning partitions (itself an anomaly) must not inflate
+    counts: per-partition n_violations sums to the true total, attributed
+    to the subject's minimum partition."""
+    from pyspark.sql import functions as F
+
+    store = ParquetManifestStore(spark, str(tmp_path / "manifest_x"))
+    v = ResumableValidator(
+        ValidationEngine(subject_col="doc_id"), store, partition_col="source"
+    )
+    seq = synth.gen_sequences(spark, 20)
+    # duplicate doc 3 into a different partition with an empty-tokens row
+    spill = seq.filter(F.col("doc_id") == "doc-00000003").select(
+        "doc_id",
+        F.array().cast("array<int>").alias("tokens"),
+        F.lit(0).alias("n_tok"),
+        F.lit("wiki").alias("source"),
+    )
+    both = seq.select("doc_id", "tokens", "n_tok", "source").unionByName(spill)
+    results = v.run(both, RULES, snapshot_id="sX")
+    total = sum(r["n_violations"] for r in results.values())
+    engine_total = (
+        ValidationEngine(subject_col="doc_id").validate(both, RULES).violations.count()
+    )
+    assert total == engine_total

@@ -120,3 +120,43 @@ def test_rolling_hash_kernel_sliced_array():
     w_sl, m_sl = rolling_hash_kernel(sliced, k=2)
     assert list(w_sl) == list(w_full[1:3])
     assert list(m_sl) == list(m_full[1:3])
+
+
+def test_list_kernels_honor_sliced_arrays():
+    """Sliced ListArrays share the full child values buffer; every kernel
+    must bound its segments to the slice (regression: the final reduceat
+    segment absorbed values from rows past the slice)."""
+    from fs_schema_validator_spark.functions.arrays import (
+        first_mismatch_kernel,
+    )
+    from fs_schema_validator_spark.operators.dedup import (
+        minhash31_constants,
+    )
+
+    consts = minhash31_constants(4)
+    rows = [[1, 2, 3], [4, 5], [6, 7, 8], [9], [10, 11]]
+    full = pa.array(rows, type=pa.list_(pa.int64()))
+    sliced = full.slice(1, 3)
+
+    mm_full = minhash_mix_mod_kernel(full, consts, MH31_MOD)
+    mm_sl = minhash_mix_mod_kernel(sliced, consts, MH31_MOD)
+    assert mm_sl.tolist() == mm_full[1:4].tolist()
+
+    sh_full = simhash_kernel(full, bits=8)
+    sh_sl = simhash_kernel(sliced, bits=8)
+    assert sh_sl.tolist() == sh_full[1:4].tolist()
+
+    # the reviewer's executed counterexamples, pinned
+    a = pa.array([[1, 2, 3], [4, 5], [6, 7, 8], [0, 0]], type=pa.list_(pa.int64()))
+    got = minhash_mix_mod_kernel(a.slice(1, 2), consts, MH31_MOD)
+    want = minhash_mix_mod_kernel(
+        pa.array([[4, 5], [6, 7, 8]], type=pa.list_(pa.int64())), consts, MH31_MOD
+    )
+    assert got.tolist() == want.tolist()
+    b = pa.array([[3], [0], [1, 1, 1]], type=pa.list_(pa.int64()))
+    assert simhash_kernel(b.slice(0, 2), bits=4).tolist() == [3, 0]
+
+    # first_mismatch gathers (not reduceat) but must survive the rebase
+    x = pa.array([[1, 2], [3, 4], [5, 6]], type=pa.list_(pa.int32()))
+    y = pa.array([[1, 2], [3, 9], [5, 6]], type=pa.list_(pa.int32()))
+    assert first_mismatch_kernel(x.slice(1, 2), y.slice(1, 2)).tolist() == [1, -1]

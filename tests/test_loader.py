@@ -223,3 +223,19 @@ def test_example_rule_specs_run_end_to_end(spark):
         rows = res.violations.collect()
         assert rows, f"{name}: expected violations on corrupted input"
         assert not res.okay()
+
+
+def test_escaped_braces_survive_both_phases():
+    """{{...}} escapes render literal {$x} text; phase 2 must NOT re-parse
+    it as a hole (phase 1's unbound-hole collector is the source of
+    truth), so escaped placeholder text loads verbatim."""
+    rs = RuleSet.from_yaml(
+        """
+schema:
+  - type: expr
+    id: r1
+    assert: "n_tok > 0"
+    reason: "'use {{$idx}} placeholders'"
+"""
+    )
+    assert rs.rules[0].reason_sql == "'use {$idx} placeholders'"
