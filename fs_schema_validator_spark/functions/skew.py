@@ -20,10 +20,18 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, salt_buckets: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic salt from the row's content hash (not rand(): keeps the
-    pipeline replayable and checkpoint-friendly)."""
+    """Per-row salt from the row's physical position
+    (monotonically_increasing_id), NOT a content hash: a content hash
+    gives every byte-identical duplicate of a hot key the same salt —
+    and the dup-heavy hot key is exactly the case salting exists for —
+    and throws on unhashable column types (maps). Position salts spread
+    every row regardless of content; the aggregates built on top
+    (count-sum, sorted merged lists) are salt-invariant, so outputs stay
+    deterministic even though the salt itself depends on partition
+    layout."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+        salt_col,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
     )
 
 
@@ -58,10 +66,9 @@ def salted_count(
     """Two-stage count by group (illustrative: counts partial-agg natively;
     this form is the template for aggregates that do not).
 
-    The salt is hashed from the FULL row before projecting to the group
-    columns — salting the group key alone would give every row of a hot
-    key the same salt, leaving stage 1 exactly as skewed as a plain
-    groupBy."""
+    The salt is per-row (position-based, see with_salt) — salting the
+    group key alone would give every row of a hot key the same salt,
+    leaving stage 1 exactly as skewed as a plain groupBy."""
     salted = with_salt(df, salt_buckets).select(*group_cols, "_salt")
     partial = salted.groupBy(*group_cols, "_salt").agg(
         F.count(F.lit(1)).alias("_n")

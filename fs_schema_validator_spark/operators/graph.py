@@ -48,7 +48,10 @@ def connected_components(
         # materialize the edge list ONCE: it is consumed by every round's
         # neighbor join, and its lineage is typically the whole candidate
         # pipeline (LSH banding over the corpus) — without this each round
-        # re-executes that pipeline
+        # re-executes that pipeline. (localCheckpoint blocks are not
+        # replicated: an executor loss mid-fixpoint fails the job instead
+        # of recomputing — acceptable for a loop this short; use
+        # reliable checkpointing for hour-long graph jobs.)
         .localCheckpoint(eager=True)
     )
     labels = (

@@ -216,17 +216,8 @@ def lsh_bucketed_topk(
     replays with bit_count(xor(sig, qsig)) <= 1."""
     dim = len(query)
     planes = _projection_matrix(dim, n_planes, seed)
-    qsig = 0
-    margins = []
-    for i, plane in enumerate(planes):
-        d = sum(a * b for a, b in zip(query, plane))
-        margins.append((abs(d), i))
-        if d >= 0:
-            qsig |= 1 << i
     # probe order: flip the planes the query is closest to first
-    probe_sigs = [qsig] + [
-        qsig ^ (1 << i) for _, i in sorted(margins)[: max(0, probes - 1)]
-    ]
+    probe_sigs = _probe_sigs(query, planes, probes)
     if strategy == "arrow":
         from ..functions.arrays import hyperplane_band_chunks_arrow
 
@@ -242,8 +233,23 @@ def lsh_bucketed_topk(
     return topk_cosine(candidates, query, k, vec_col, id_col)
 
 
+def _probe_sigs(query: list[float], planes: list[list[float]], probes: int) -> list[int]:
+    """Query signature + the `probes-1` lowest-margin one-bit flips —
+    shared by the in-flight (lsh_bucketed_topk) and materialized-index
+    (topk_from_index) paths so the two can never diverge."""
+    qsig = 0
+    margins = []
+    for i, plane in enumerate(planes):
+        d = sum(a * b for a, b in zip(query, plane))
+        margins.append((abs(d), i))
+        if d >= 0:
+            qsig |= 1 << i
+    return [qsig] + [
+        qsig ^ (1 << i) for _, i in sorted(margins)[: max(0, probes - 1)]
+    ]
+
+
 def write_ann_index(
-    spark,
     df: DataFrame,
     dim: int,
     n_planes: int = 8,
@@ -293,22 +299,18 @@ def topk_from_index(
     Note: Spark's DisableUnnecessaryBucketedScan planner rule drops the
     bucketed scan for plans with no distribution requirement — which also
     drops FILE pruning and leaves only row-group filter pushdown. Probe
-    queries are exactly the case where pruning matters, so this session
-    flag pins it off (a cluster deployment sets it in spark-submit conf)."""
+    queries are exactly the case where pruning matters, so this flag is
+    pinned off FOR THE SESSION and deliberately not restored: it must
+    still be set when the returned (lazy) DataFrame is planned at action
+    time — after this function returns — so a save/restore here would
+    silently lose the pruning. A cluster deployment sets it once in
+    spark-submit conf; a session mixing probe queries with plans that
+    benefit from auto-disabled bucketed scans resets it manually."""
     spark.conf.set(
         "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
     )
     planes = _projection_matrix(len(query), n_planes, seed)
-    qsig = 0
-    margins = []
-    for i, plane in enumerate(planes):
-        d = sum(a * b for a, b in zip(query, plane))
-        margins.append((abs(d), i))
-        if d >= 0:
-            qsig |= 1 << i
-    probe_sigs = [qsig] + [
-        qsig ^ (1 << i) for _, i in sorted(margins)[: max(0, probes - 1)]
-    ]
+    probe_sigs = _probe_sigs(query, planes, probes)
     candidates = spark.table(table).filter(F.col("_sig").isin(probe_sigs))
     return topk_cosine(candidates, query, k, vec_col, id_col)
 

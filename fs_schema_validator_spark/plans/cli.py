@@ -174,7 +174,12 @@ def cmd_profile(args: argparse.Namespace) -> int:
 
     spark = get_spark(app_name="fsv-profile")
     spark.sparkContext.setLogLevel("WARN")
-    df = load_table(spark, args.table)
+    ref = args.table
+    # a bare relative directory name would dispatch to the session catalog
+    # in load_table; an existing local path is always a path
+    if os.path.exists(ref) and "/" not in ref:
+        ref = f"./{ref}"
+    df = load_table(spark, ref)
     cols = args.columns.split(",") if args.columns else None
     for row in table_profile(df, cols, exact=args.exact).collect():
         print(

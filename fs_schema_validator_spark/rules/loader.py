@@ -97,16 +97,46 @@ def _expand_value(
     return [yaml.safe_load(StringIO(expanded[0]))]
 
 
+def _contains_hole(value: Any) -> bool:
+    if isinstance(value, str):
+        return bool(_HOLE_RE.search(value))
+    if isinstance(value, Mapping):
+        return any(_contains_hole(v) for v in value.values())
+    if isinstance(value, list):
+        return any(_contains_hole(v) for v in value)
+    return False
+
+
+def _had_escape(value: Any) -> bool:
+    if isinstance(value, str):
+        return "{{" in value
+    if isinstance(value, Mapping):
+        return any(_had_escape(v) for v in value.values())
+    if isinstance(value, list):
+        return any(_had_escape(v) for v in value)
+    return False
+
+
 def _expand_rule(
     rule: dict[str, Any], bindings: Bindings
 ) -> Iterator[tuple[dict[str, Any], frozenset]]:
-    """Yield (expanded rule dict, keys that still hold unbound holes)."""
+    """Yield (expanded rule dict, keys that still hold unresolved holes).
+
+    A key is "open" (needs the phase-2 pass) when phase 1 reported an
+    unbound hole in it, OR when its expanded value contains hole-shaped
+    text that did NOT come from a ``{{...}}`` escape in the raw field —
+    i.e. hole text injected through a bound binding VALUE (bindings:
+    {tpl: "bad {$x}"} + reason: "{$tpl}") still gets resolved-or-rejected
+    in phase 2 rather than silently shipping as literal rule text."""
     pools = []
     open_keys = set()
     for key, value in rule.items():
         unbound: set = set()
-        pools.append([(key, v) for v in _expand_value(value, bindings, unbound)])
-        if unbound:
+        expanded = _expand_value(value, bindings, unbound)
+        pools.append([(key, v) for v in expanded])
+        if unbound or (
+            not _had_escape(value) and any(_contains_hole(v) for v in expanded)
+        ):
             open_keys.add(key)
     frozen = frozenset(open_keys)
     return ((dict(combo), frozen) for combo in itertools.product(*pools))

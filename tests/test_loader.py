@@ -239,3 +239,31 @@ schema:
 """
     )
     assert rs.rules[0].reason_sql == "'use {$idx} placeholders'"
+
+
+def test_hole_injected_via_binding_value_is_still_resolved_or_rejected():
+    """Hole text arriving through a bound binding VALUE (not the raw
+    field) must still go through phase 2: resolved if a rule-level
+    binding exists, hard error if not — never silent literal text."""
+    ok = RuleSet.from_yaml(
+        """
+bindings: {tpl: "assertion {$id} failed"}
+schema:
+  - type: expr
+    id: r9
+    assert: "1=1"
+    reason: "'{$tpl}'"
+"""
+    )
+    assert ok.rules[0].reason_sql == "'assertion r9 failed'"
+    with pytest.raises(RuleSetError, match=r"\$nmae.*still unbound"):
+        RuleSet.from_yaml(
+            """
+bindings: {tpl: "bad {$nmae}"}
+schema:
+  - type: expr
+    id: r9
+    assert: "1=1"
+    reason: "'{$tpl}'"
+"""
+        )

@@ -670,7 +670,7 @@ def test_ann_index_bucket_pruning(spark):
     query = [math.sin(7 * 0.37 + d) for d in range(16)]
 
     similarity.write_ann_index(
-        spark, emb, dim=16, n_planes=6, table="fsv_ann_test", buckets=16
+        emb, dim=16, n_planes=6, table="fsv_ann_test", buckets=16
     )
     got = similarity.topk_from_index(
         spark, "fsv_ann_test", query, k=5, n_planes=6, probes=7
