@@ -980,6 +980,33 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pass: top-10 tokens per lang (explode -> partial-agg
+    count -> rank window), ties on the token string."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.vocab_top_terms(docs, k=10, group_col="lang")
+
+
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination screen: every 25th document plays the benchmark
+    set (shifted ids); fingerprint join returns the corpus docs that
+    would leak eval content into training."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    return textstats.cross_table_overlap(docs, bench)
+
+
+def stratified_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% stratified sample per lang — row-local portable
+    hash filter, replayed exactly by the oracle."""
+    from fs_schema_validator_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(docs, "doc_id", 20, group_cols=["lang"])
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: plant duplicates, keep-first
     exact dedup, quality gate (length + word shape), language-agreement
@@ -1074,6 +1101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile_documents": table_profile_documents,
         "split_assignment": split_assignment,
         "sequence_packing": sequence_packing,
+        "vocab_top_terms_by_lang": vocab_top_terms_by_lang,
+        "contamination_overlap": contamination_overlap,
+        "stratified_sample_ids": stratified_sample_ids,
     }
 
 
@@ -1655,6 +1685,29 @@ def oracle_sql() -> dict[str, str]:
             + " % 10 AS bucket FROM documents) "
             "SELECT doc_id, CASE WHEN bucket < 8 THEN 'train' "
             "WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split FROM b"
+        ),
+        "vocab_top_terms_by_lang": (
+            f"WITH w AS (SELECT lang, unnest({_WORDS}) AS token FROM documents), "
+            "c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n "
+            "FROM w GROUP BY lang, token), "
+            "r AS (SELECT lang, token, n, CAST(row_number() OVER "
+            "(PARTITION BY lang ORDER BY n DESC, token ASC) AS BIGINT) AS rank "
+            "FROM c) "
+            "SELECT lang, token, n, rank FROM r WHERE rank <= 10"
+        ),
+        "contamination_overlap": (
+            "WITH b AS (SELECT doc_id + 500000 AS bench_id, "
+            "md5(lower(trim(text))) AS fingerprint FROM documents "
+            "WHERE doc_id % 25 = 0), "
+            "c AS (SELECT doc_id AS corpus_id, md5(lower(trim(text))) "
+            "AS fingerprint FROM documents) "
+            "SELECT b.bench_id, c.corpus_id, b.fingerprint "
+            "FROM b JOIN c USING (fingerprint)"
+        ),
+        "stratified_sample_ids": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            + _hex15("'sample' || '|' || lang || '|' || CAST(doc_id AS VARCHAR)")
+            + " % 100 < 20"
         ),
         "sequence_packing": (
             "WITH s AS (SELECT doc_id, lang, n_chars, "

@@ -29,6 +29,28 @@ def split_bucket(id_col: Column, total: int, salt: str = "split") -> Column:
     return h % total
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction_pct: int,
+    group_cols: list[str] | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic ~fraction_pct% sample: keep rows whose portable hash
+    bucket (of salt||group||id) falls under the percentage. With
+    `group_cols` the hash is salted per group, so each stratum is sampled
+    independently at the same rate (stratified sampling without a shuffle:
+    the filter is row-local, unlike sampleBy which needs a fractions map
+    collected up front). Re-runs, re-partitionings, and engine swaps keep
+    the exact same rows."""
+    parts = [F.lit(salt)]
+    for g in group_cols or []:
+        parts.append(F.col(g).cast("string"))
+    parts.append(F.col(id_col).cast("string"))
+    bucket = split_bucket(F.concat_ws("|", *parts), 100, salt="")
+    return df.filter(bucket < fraction_pct)
+
+
 def pack_offsets(
     df: DataFrame,
     length_col: str,

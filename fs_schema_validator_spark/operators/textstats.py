@@ -130,6 +130,61 @@ def subword_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Top-k most frequent tokens (globally or per group) — the vocabulary
+    /stopword-discovery pass. explode -> count is the canonical heavy
+    -shuffle shape, kept cheap by map-side partial aggregation (the
+    shuffle carries (token, partial_count), not token instances); the
+    final top-k is a TakeOrderedAndProject (global) or one rank window
+    (grouped). Ties break on the token string for determinism."""
+    w = words(F.lower(F.col(text_col)))
+    toks = df.select(
+        *([group_col] if group_col else []), F.explode(w).alias("token")
+    )
+    keys = ([group_col] if group_col else []) + ["token"]
+    counts = toks.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    if group_col is None:
+        return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("token"))
+    )
+    return (
+        counts.withColumn("_rk", rk)
+        .filter(F.col("_rk") <= k)
+        .select(group_col, "token", "n", F.col("_rk").cast("bigint").alias("rank"))
+    )
+
+
+def cross_table_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    corpus_id: str = "doc_id",
+    bench_id: str = "doc_id",
+) -> DataFrame:
+    """Decontamination screen: corpus documents whose normalized content
+    exactly matches a benchmark/eval document. Both sides reduce to an
+    md5 fingerprint BEFORE the join, so the shuffle carries 16-byte keys
+    (and the benchmark side — small by nature — broadcasts); returns
+    (bench_id, corpus_id, fingerprint) pairs to drop or audit. Near-dup
+    decontamination composes the same way from minhash candidates."""
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"), fp.alias("fingerprint"))
+    b = benchmark.select(F.col(bench_id).alias("bench_id"), fp.alias("fingerprint"))
+    return F.broadcast(b).join(c, "fingerprint").select(
+        "bench_id", "corpus_id", "fingerprint"
+    )
+
+
 _RH_MOD = 2147483647  # 2^31 - 1: h*31 + c stays far below bigint overflow
 _RH_SEED = 7
 

@@ -683,3 +683,55 @@ def test_ann_index_bucket_pruning(spark):
     assert [(r.vec_id, r.cos) for r in got.collect()] == [
         (r.vec_id, r.cos) for r in live.collect()
     ]
+
+
+def test_vocab_top_terms_global_and_grouped(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x x x y"), (2, "a", "x z"), (3, "b", "q q y")],
+        "doc_id bigint, lang string, text string",
+    )
+    top = [(r.token, r.n) for r in textstats.vocab_top_terms(df, k=2).collect()]
+    assert top == [("x", 4), ("q", 2)]  # q beats y on the tie via token asc
+    by_lang = {
+        (r.lang, r.rank): (r.token, r.n)
+        for r in textstats.vocab_top_terms(df, k=2, group_col="lang").collect()
+    }
+    assert by_lang[("a", 1)] == ("x", 4)
+    assert by_lang[("b", 1)] == ("q", 2)
+
+
+def test_cross_table_overlap_finds_exact_leaks(spark):
+    corpus = spark.createDataFrame(
+        [(1, "The Answer"), (2, "other text"), (3, "the answer  ")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the answer"), (101, "unseen eval item")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.bench_id, r.corpus_id)
+        for r in textstats.cross_table_overlap(corpus, bench).collect()
+    }
+    assert got == {(100, 1), (100, 3)}  # normalization catches case/trim
+
+
+def test_stratified_sample_rate_and_determinism(spark):
+    from fs_schema_validator_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "g1" if i % 2 else "g2") for i in range(3000)],
+        "doc_id bigint, lang string",
+    )
+    s1 = {r.doc_id for r in sampling.stratified_sample(df, "doc_id", 30, ["lang"]).collect()}
+    s2 = {
+        r.doc_id
+        for r in sampling.stratified_sample(
+            df.repartition(17), "doc_id", 30, ["lang"]
+        ).collect()
+    }
+    assert s1 == s2
+    per_g = [
+        sum(1 for d in s1 if d % 2 == r) / 1500 for r in (0, 1)
+    ]
+    assert all(0.25 < frac < 0.35 for frac in per_g), per_g
