@@ -28,7 +28,6 @@ order within a subject, sorted across subjects (reference report.py:27-33).
 
 from __future__ import annotations
 
-import math
 from typing import Mapping
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -37,6 +36,7 @@ from pyspark.sql import types as T
 
 from ..rules import model as Mdl
 from ..rules.loader import RuleSet, RuleSetError
+from . import messages as M
 from .columns import compile_checker, empty_errors, render_reason
 
 VIOLATION_SCHEMA = "subject string, rule_id string, rule_seq int, reason string"
@@ -79,6 +79,8 @@ def _compile_row_rule(rule: Mdl.Rule, schema: T.StructType) -> Column:
     if isinstance(rule, Mdl.JsonSpecRule):
         from .variant_json import json_column_violations
 
+        if rule.column not in schema.names:
+            return _rule_errs(rule, F.lit(f"`{rule.column}`: does not exist"))
         errs = json_column_violations(F.col(rule.column), rule.spec)
         return F.transform(
             errs,
@@ -112,8 +114,12 @@ def _compile_row_rule(rule: Mdl.Rule, schema: T.StructType) -> Column:
     if isinstance(rule, Mdl.NotEmptyRule):
         if rule.allow_empty:
             return F.array().cast(_ROW_ERR_TYPE)
+        if rule.column not in schema.names:
+            # graceful missing-column violation, same contract as
+            # ColumnSpecRule above (a typo'd column must not crash the run)
+            return _rule_errs(rule, F.lit(f"`{rule.column}`: does not exist"))
         col = F.col(rule.column)
-        dtype = schema[rule.column].dataType if rule.column in schema.names else None
+        dtype = schema[rule.column].dataType
         if isinstance(dtype, (T.ArrayType, T.MapType)):
             is_empty = F.size(col) == 0
         else:
@@ -133,6 +139,16 @@ class CompiledPlan:
         subject_col: str,
         tables: Mapping[str, DataFrame],
     ) -> None:
+        if "subject" in df.columns and subject_col != "subject":
+            # "subject" is the engine's reserved output alias for the cast
+            # subject key; a DIFFERENT data column by that name would be
+            # silently shadowed in the fused projection (table rules over
+            # it would validate the subject key instead) — fail loud.
+            raise RuleSetError(
+                "the input has a column named `subject` that is not the "
+                "subject key; rename it (e.g. withColumnRenamed) — "
+                "`subject` is the engine's reserved violations alias"
+            )
         self.df = df
         self.ruleset = ruleset
         self.subject_col = subject_col
@@ -217,9 +233,16 @@ class CompiledPlan:
 
         base = self.df
         for rule in self._token_range_rules():
-            dim = self._aux(rule.dim).select(
-                F.col(rule.dim_key).alias(rule.group_col),
-                F.col(rule.vocab_col).alias(f"_vocab_{rule.seq}"),
+            # one vocab per key, enforced: a dim with duplicate keys (a
+            # versioned dim, a bad export) would MULTIPLY every matching
+            # base row through the left join, double-emitting violations
+            # and corrupting every other rule's counts (ReferentialRule
+            # guards with .distinct(); here the max vocab wins,
+            # deterministically)
+            dim = (
+                self._aux(rule.dim)
+                .groupBy(F.col(rule.dim_key).alias(rule.group_col))
+                .agg(F.max(rule.vocab_col).alias(f"_vocab_{rule.seq}"))
             )
             base = base.join(F.broadcast(dim), on=rule.group_col, how="left")
 
@@ -285,30 +308,33 @@ class CompiledPlan:
     # -- row rules: one fused scan ----------------------------------------
 
     def row_violations(self) -> DataFrame:
-        rules = self.ruleset.row_rules
-        subject = F.coalesce(
-            F.col(self.subject_col).cast("string"), F.lit("<null>")
-        ).alias("subject")
-        if not rules:
+        """Row-rule violations, exploded from the fused projection — the
+        SAME observed/persisted pass every other consumer reads, so
+        scan_metrics() after a row-only validation does not trigger a
+        second scan of the wide table."""
+        if not self.ruleset.row_rules and not self._token_range_rules():
             return self.spark.createDataFrame([], VIOLATION_SCHEMA)
-        arrays = [_compile_row_rule(r, self.df.schema) for r in rules]
-        fused = self.df.select(
-            subject, F.flatten(F.array(*arrays)).alias("_violations")
-        )
-        exploded = fused.select("subject", F.explode("_violations").alias("v"))
-        return exploded.select(
-            "subject",
-            F.col("v.rule_id").alias("rule_id"),
-            F.col("v.rule_seq").alias("rule_seq"),
-            F.col("v.reason").alias("reason"),
+        return (
+            self.fused_projection()
+            .select("subject", F.explode("_viols").alias("v"))
+            .select(
+                "subject",
+                F.col("v.rule_id").alias("rule_id"),
+                F.col("v.rule_seq").alias("rule_seq"),
+                F.col("v.reason").alias("reason"),
+            )
         )
 
     # -- per-row ok flags (for summaries / ok-subject extraction) ---------
 
     def row_ok_flags(self) -> DataFrame:
-        """(subject, ok) for row rules only — single pass, no shuffle."""
+        """(subject, ok) for row rules only — single pass, no shuffle.
+        Null subjects render '<null>' like every other violations surface,
+        so flags join cleanly against violations."""
         rules = self.ruleset.row_rules
-        subject = F.col(self.subject_col).cast("string").alias("subject")
+        subject = F.coalesce(
+            F.col(self.subject_col).cast("string"), F.lit("<null>")
+        ).alias("subject")
         if not rules:
             return self.df.select(subject, F.lit(True).alias("ok"))
         arrays = [_compile_row_rule(r, self.df.schema) for r in rules]
@@ -392,7 +418,9 @@ class CompiledPlan:
                 F.xxhash64(F.col(rule.ref_column)).alias("_hb"),
                 F.size(F.col(rule.ref_column)).alias("_sb"),
             )
-            bad_keys = (
+            from ..functions.cache import track
+
+            bad_keys = track(
                 lh.join(rh, on=rule.key, how="inner")
                 .filter(
                     ~F.col("_ha").eqNullSafe(F.col("_hb"))
@@ -410,13 +438,27 @@ class CompiledPlan:
                 F.col(rule.key),
                 F.col(rule.ref_column).alias("_ref_arr"),
             )
-            if n_bad <= 5_000_000:
-                # Rare-corruption path: both probe sides broadcast, so
-                # neither big table shuffles — two streaming scans total.
+            # Tiered by CORRUPTION VOLUME. The dangerous broadcast is the
+            # array-bearing survivors side (keys alone are ~8B/row; arrays
+            # are KBs/row — 5M array rows would blow past driver/broadcast
+            # limits and turn a recoverable burst into a hard failure), so
+            # arrays broadcast only below a much smaller key count.
+            if n_bad <= 100_000:
+                # rare corruption: both probe sides broadcast, neither big
+                # table shuffles — two streaming scans total
                 survivors = self.df.select(
                     F.col(rule.key), F.col(rule.column)
                 ).join(F.broadcast(bad_keys), on=rule.key, how="inner")
                 joined = ref.join(F.broadcast(survivors), on=rule.key, how="inner")
+            elif n_bad <= 5_000_000:
+                # burst corruption: broadcast the KEY SET into both scans
+                # (bounded: keys only), then shuffle-join the two filtered
+                # sides — each carries only n_bad array rows
+                survivors = self.df.select(
+                    F.col(rule.key), F.col(rule.column)
+                ).join(F.broadcast(bad_keys), on=rule.key, how="inner")
+                ref_flt = ref.join(F.broadcast(bad_keys), on=rule.key, how="inner")
+                joined = survivors.join(ref_flt, on=rule.key, how="inner")
             else:  # pathological corruption: fall back to shuffled joins
                 joined = (
                     self.df.select(F.col(rule.key), F.col(rule.column))
@@ -424,6 +466,12 @@ class CompiledPlan:
                     .join(ref, on=rule.key, how="inner")
                 )
             mism = first_mismatch_index(joined, rule.column, "_ref_arr", key=rule.key)
+            # mismatch_idx == -1 here means the screen flagged a null-vs-
+            # empty pair (hash/size differ) that the diagnosis kernel — and
+            # the DuckDB oracle's index arithmetic — deliberately treat as
+            # EQUAL (null ≡ empty for the array invariant; nullness itself
+            # is the spec/required rules' job). Dropping them is the
+            # contract, not a leak.
             return mism.filter(F.col("mismatch_idx") >= 0).select(
                 F.col(rule.key).cast("string").alias("subject"),
                 F.lit(rule.rule_id).alias("rule_id"),
@@ -498,7 +546,7 @@ class CompiledPlan:
             F.format_string(
                 f"distribution drift: {label} %.4f > %s",
                 F.col("stat"),
-                F.lit(_trim_float(rule.threshold)),
+                F.lit(M.fmt_num(rule.threshold)),
             ).alias("reason"),
         )
 
@@ -511,20 +559,7 @@ class CompiledPlan:
         fused projection; every other table rule aggregates/joins the same
         cached projection. Only the equality diagnosis re-fetch touches an
         array column a second time, and only for hash-mismatched keys."""
-        has_table_rules = bool(self.ruleset.table_rules)
-        if not has_table_rules:
-            return self.row_violations()
-
-        fused = self.fused_projection()
-        row_part = fused.select(
-            "subject", F.explode("_viols").alias("v")
-        ).select(
-            "subject",
-            F.col("v.rule_id").alias("rule_id"),
-            F.col("v.rule_seq").alias("rule_seq"),
-            F.col("v.reason").alias("reason"),
-        )
-        parts = [row_part]
+        parts = [self.row_violations()]
         parts.extend(
             self._table_violations(r)
             for r in self.ruleset.table_rules
@@ -534,9 +569,3 @@ class CompiledPlan:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
-
-
-def _trim_float(v: float) -> str:
-    if math.isfinite(v) and float(v).is_integer():
-        return str(int(v))
-    return str(v)

@@ -44,6 +44,14 @@ def _vtype(value: Column) -> Column:
     return F.schema_of_variant(value)
 
 
+def _child_path(path: Column, seg: Column) -> Column:
+    """Dotted child path; a ROOT child renders bare ('0', 'key', 'int'),
+    not '.0' — the reference joins pydantic loc tuples with '.' so a
+    root-level element has no leading dot (schemas/json.py:249-261), and
+    the byte-stable message parity contract includes paths."""
+    return F.when(path == "", seg).otherwise(F.concat(path, F.lit("."), seg))
+
+
 def _is_missing_or_null(value: Column) -> Column:
     return value.isNull() | F.is_variant_null(value)
 
@@ -193,7 +201,7 @@ def _compile_array(spec: S.ArraySpec) -> Checker:
             F.transform(
                 elems,
                 lambda e, i: item_checker(
-                    e, F.concat(path, F.lit("."), i.cast("string"))
+                    e, _child_path(path, i.cast("string"))
                 ),
             )
         )
@@ -214,7 +222,7 @@ def _compile_fixed_array(spec: S.FixedArraySpec) -> Checker:
         size = F.size(elems)
         parts = []
         for i, chk in enumerate(checkers):
-            ipath = F.concat(path, F.lit(f".{i}"))
+            ipath = _child_path(path, F.lit(str(i)))
             parts.append(
                 F.when(size <= i, F.array(_err(ipath, M.REQUIRED))).otherwise(
                     chk(F.get(elems, i), ipath)
@@ -287,11 +295,11 @@ def _compile_dict(spec: S.DictSpec) -> Checker:
             lambda e: F.concat(
                 key_errs(
                     e.getField("key"),
-                    F.concat(path, F.lit("."), e.getField("key")),
+                    _child_path(path, e.getField("key")),
                 ),
                 value_checker(
                     e.getField("value"),
-                    F.concat(path, F.lit("."), e.getField("key")),
+                    _child_path(path, e.getField("key")),
                 ),
             ),
         )
@@ -311,7 +319,7 @@ def _compile_enum(spec: S.EnumSpec) -> Checker:
             vpath = (
                 path
                 if isinstance(vspec, S.LiteralSpec)
-                else F.concat(path, F.lit("." + vspec.kind))
+                else _child_path(path, F.lit(vspec.kind))
             )
             errors_per_variant.append(chk(value, vpath))
         matches_any = None

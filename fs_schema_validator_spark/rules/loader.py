@@ -142,8 +142,11 @@ def _expand_rule(
     return ((dict(combo), frozen) for combo in itertools.product(*pools))
 
 
-# a leftover unbound hole, exactly as Hole.__str__ re-renders it in phase 1
-_HOLE_RE = re.compile(r"\{\$([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\}")
+# a leftover unbound hole, exactly as Hole.__str__ re-renders it in phase 1;
+# the symbol grammar MIRRORS the evaluator's (parser.py _SYMBOL:
+# [a-zA-Z][a-zA-Z\-_0-9]+ — hyphens allowed, min length 2) so a hyphenated
+# binding like {$my-var} cannot slip through phase 2 unresolved
+_HOLE_RE = re.compile(r"\{\$([a-zA-Z][a-zA-Z\-_0-9]+)(?::([^}]*))?\}")
 
 
 def _resolve_inner(value: Any, bindings: Bindings, where: str) -> Any:

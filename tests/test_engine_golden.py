@@ -247,3 +247,79 @@ schema:
         res.violations.select("subject").distinct().count()
     )
     assert m["rows_with_row_violations"] == distinct_bad > 0
+
+
+def test_not_empty_and_json_spec_on_missing_column_are_violations(spark):
+    """A typo'd column must emit 'does not exist' per subject, not crash
+    the run (reference: missing-file reason, report.py:24-25)."""
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    rules = """
+schema:
+  - {type: not_empty, column: typo_col}
+  - type: json_spec
+    column: also_missing
+    spec: {type: object, attrs: {k: {type: int}}}
+"""
+    res = ValidationEngine(subject_col="doc_id").validate(df, rules)
+    reasons = sorted(r.reason for r in res.violations.collect())
+    assert reasons == [
+        "`also_missing`: does not exist",
+        "`typo_col`: does not exist",
+    ]
+
+
+def test_reserved_subject_column_collision_fails_loud(spark):
+    """A data column literally named 'subject' (that is not the subject
+    key) would be silently shadowed by the engine's output alias — the
+    compiler rejects it instead."""
+    from fs_schema_validator_spark.rules.loader import RuleSetError
+
+    df = spark.createDataFrame(
+        [(1, "a")], "doc_id bigint, subject string"
+    )
+    with pytest.raises(RuleSetError, match="reserved"):
+        ValidationEngine(subject_col="doc_id").validate(
+            df, "schema: [{type: not_empty, column: doc_id}]"
+        )
+
+
+def test_token_range_dim_with_duplicate_keys_does_not_multiply_rows(spark):
+    """A versioned dim (two rows per key) must not duplicate fused rows —
+    the max vocab wins and every other rule's counts stay exact."""
+    df = spark.createDataFrame(
+        [("d1", [1, 5], "en"), ("d2", [99], "en")],
+        "doc_id string, tokens array<int>, source string",
+    )
+    dim = spark.createDataFrame(
+        [("en", 10), ("en", 50)], "source string, vocab_size int"
+    )
+    rules = """
+schema:
+  - type: token_range
+    id: vocab_check
+    column: tokens
+    group_col: source
+    dim: dim
+    dim_key: source
+    vocab_col: vocab_size
+  - {type: unique, id: uniq, keys: [doc_id]}
+"""
+    res = ValidationEngine(subject_col="doc_id").validate(df, rules, {"dim": dim})
+    rows = res.violations.collect()
+    # max vocab (50) wins: token 99 violates once; NO phantom duplicate-key
+    # violations from join multiplication
+    assert [(r.subject, r.rule_id) for r in rows] == [("d2", "vocab_check")]
+
+
+def test_scan_metrics_with_row_only_ruleset_uses_the_observed_pass(spark):
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 else "") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    res = ValidationEngine(subject_col="doc_id").validate(
+        df, "schema: [{type: not_empty, column: text}]"
+    )
+    assert res.violations.count() == 5
+    m = res.scan_metrics()
+    assert m["rows_scanned"] == 10
+    assert m["rows_with_row_violations"] == 5

@@ -135,3 +135,24 @@ def test_fully_valid_document_has_no_errors(corpus_errors):
 
 def test_unparseable_document(corpus_errors):
     assert corpus_errors["not_json"] == ["root object: Invalid JSON"]
+
+
+def test_root_level_array_paths_have_no_leading_dot(spark):
+    """Reference joins pydantic loc tuples with '.', so a ROOT element's
+    path is bare ('0'), never '.0' (schemas/json.py:249-261)."""
+    from fs_schema_validator_spark.engine import ValidationEngine
+
+    df = spark.createDataFrame(
+        [(1, '["x", 2]')], "doc_id bigint, payload string"
+    )
+    rules = """
+schema:
+  - type: json_spec
+    id: arr
+    column: payload
+    spec: {type: array, items: {type: int}}
+"""
+    res = ValidationEngine(subject_col="doc_id").validate(df, rules)
+    reasons = {r.reason for r in res.violations.collect()}
+    assert "`0`: Input should be a valid integer" in reasons
+    assert not any(r.startswith("`.") for r in reasons)

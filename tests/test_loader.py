@@ -267,3 +267,10 @@ schema:
     reason: "'{$tpl}'"
 """
         )
+
+
+def test_hyphenated_unbound_binding_is_rejected():
+    """The phase-2 hole grammar mirrors the evaluator's symbol grammar
+    (hyphens allowed), so {$my-var} cannot ship as literal text."""
+    with pytest.raises(RuleSetError, match=r"my-var.*still unbound"):
+        RuleSet.from_yaml("schema: [{type: not_empty, column: '{$my-var}'}]")
