@@ -1314,18 +1314,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag"
         ),
         "histogram_psi": (
+            # full lang × bucket grid (mirrors the engine): a group missing
+            # a bucket with global mass still contributes its EPS-clamped
+            # term, so concentrated drift is not underestimated
             "WITH hist AS (SELECT lang, least(11, greatest(0, "
             "CAST(floor(n_chars / 50.0) AS INT))) AS bucket, "
-            "CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY 1, 2), "
+            "CAST(count(*) AS DOUBLE) AS cnt FROM documents "
+            "WHERE n_chars IS NOT NULL GROUP BY 1, 2), "
             "tot AS (SELECT lang, sum(cnt) AS total FROM hist GROUP BY 1), "
             "q AS (SELECT h.lang, h.bucket, h.cnt / t.total AS q "
             "FROM hist h JOIN tot t USING (lang)), "
             "g AS (SELECT bucket, sum(cnt) AS gcnt FROM hist GROUP BY 1), "
             "gt AS (SELECT sum(gcnt) AS gtotal FROM g), "
             "p AS (SELECT bucket, gcnt / (SELECT gtotal FROM gt) AS p FROM g), "
-            "j AS (SELECT q.lang, greatest(q.q, 1e-6) AS qc, "
-            "greatest(coalesce(p.p, 0), 1e-6) AS pc "
-            "FROM q LEFT JOIN p USING (bucket)) "
+            "grid AS (SELECT t.lang, p.bucket, p.p FROM tot t, p), "
+            "j AS (SELECT grid.lang, "
+            "greatest(coalesce(q.q, 0), 1e-6) AS qc, "
+            "greatest(grid.p, 1e-6) AS pc "
+            "FROM grid LEFT JOIN q ON grid.lang = q.lang "
+            "AND grid.bucket = q.bucket) "
             "SELECT lang, round(sum((qc - pc) * ln(qc / pc)), 4) AS psi "
             "FROM j GROUP BY lang"
         ),

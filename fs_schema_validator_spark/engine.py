@@ -74,26 +74,48 @@ class ValidationResult:
         materialization so the latched metrics cover every row."""
         return self._plan.observed_metrics()
 
+    def release(self) -> None:
+        """Unpersist the plan's cached fused projection (long-lived
+        sessions — streaming foreachBatch, services — call this after the
+        batch's actions; one-shot CLIs can skip it)."""
+        self._plan.release()
+
     def ok_subjects(self) -> DataFrame:
-        """Subjects with zero violations (reference: valid_paths)."""
+        """Subjects with zero violations (reference: valid_paths). Null
+        subjects render '<null>' like every violations surface, so a
+        null-keyed violating row is never misreported as OK."""
         subjects = self._plan.df.select(
-            F.col(self._plan.subject_col).cast("string").alias("subject")
+            F.coalesce(
+                F.col(self._plan.subject_col).cast("string"), F.lit("<null>")
+            ).alias("subject")
         ).distinct()
         return subjects.join(
             self.violations.select("subject").distinct(), "subject", "left_anti"
         ).orderBy("subject")
 
     def summary(self, group_col: str) -> DataFrame:
-        """Per-group verdict: rows, violating rows, ok rows, verdict string."""
+        """Per-group verdict: rows, violating rows, ok rows, verdict string.
+
+        Each violation is counted EXACTLY ONCE, under the minimum group
+        containing its subject (same contract as the checkpoint manifest):
+        a subject spanning groups — itself an anomaly the engine detects —
+        must not inflate every group's counts. Null subjects join through
+        the '<null>' rendering; violations whose subject is absent from
+        the input (completeness-missing keys) fall out of the left join
+        with a null group and surface as their own summary row."""
         df = self._plan.df
-        subj = F.col(self._plan.subject_col).cast("string")
+        subj = F.coalesce(
+            F.col(self._plan.subject_col).cast("string"), F.lit("<null>")
+        )
         rows = df.groupBy(F.col(group_col).alias("grp")).agg(
             F.count(F.lit(1)).alias("rows")
         )
-        # Map each violation back to its group through the subject key.
-        subj_grp = df.select(
-            subj.alias("subject"), F.col(group_col).alias("grp")
-        ).distinct()
+        # Map each violation back to ONE group through the subject key.
+        subj_grp = (
+            df.select(subj.alias("subject"), F.col(group_col).alias("grp"))
+            .groupBy("subject")
+            .agg(F.min("grp").alias("grp"))
+        )
         viol = (
             self.violations.join(subj_grp, "subject", "left")
             .groupBy("grp")
@@ -103,10 +125,12 @@ class ValidationResult:
             )
         )
         return (
-            rows.join(viol, "grp", "left")
+            # full outer: orphan-subject violations (null grp) still get a
+            # summary row instead of silently vanishing from the report
+            rows.join(viol, "grp", "full_outer")
             .select(
                 F.col("grp").alias(group_col),
-                "rows",
+                F.coalesce("rows", F.lit(0)).alias("rows"),
                 F.coalesce("violations", F.lit(0)).alias("violations"),
                 F.coalesce("violating_subjects", F.lit(0)).alias(
                     "violating_subjects"

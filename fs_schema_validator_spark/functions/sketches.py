@@ -27,9 +27,15 @@ def bucketize(col: Column, lo: float, hi: float, buckets: int) -> Column:
 def histogram(
     df: DataFrame, col: str, group_col: str, lo: float, hi: float, buckets: int
 ) -> DataFrame:
-    """(group, bucket, cnt) counts — partial-agg friendly."""
+    """(group, bucket, cnt) counts — partial-agg friendly.
+
+    NULL values are excluded: Spark's greatest() skips nulls, so an
+    unfiltered null row would silently land in bucket 0 and shift every
+    distribution left — nullness is the required/spec rules' concern, not
+    distribution mass."""
     return (
-        df.groupBy(
+        df.filter(F.col(col).isNotNull())
+        .groupBy(
             F.col(group_col).alias("grp"),
             bucketize(F.col(col), lo, hi, buckets).alias("bucket"),
         )
@@ -48,12 +54,21 @@ def psi_vs_global(
 ) -> DataFrame:
     """(group, psi) — population-stability index of each group's histogram
     against the whole-table distribution. Zero-count buckets are clamped to EPS
-    (standard PSI practice) so the log stays finite."""
+    (standard PSI practice) so the log stays finite.
+
+    The comparison runs over the full grp × bucket GRID (like
+    ks_vs_global), not just the group's occupied buckets: a group missing
+    a bucket where the global distribution has mass contributes its
+    (EPS - p)·ln(EPS/p) term — starting from the group histogram alone
+    would silently drop exactly the terms that make a severely drifted
+    (concentrated) group stand out."""
+    from ..functions.cache import track
+
     # One scan of df: the histogram (groups × buckets rows — tiny) is
     # cached and every downstream aggregate derives from it, including the
     # grand total (Σcnt ≡ count(*)) — a naive df.count() would be a second
     # full scan.
-    hist = histogram(df, col, group_col, lo, hi, buckets).cache()
+    hist = track(histogram(df, col, group_col, lo, hi, buckets).cache())
     gtotal = float(hist.agg(F.sum("cnt")).first()[0])
     totals = hist.groupBy("grp").agg(F.sum("cnt").alias("total"))
     q = hist.join(totals, "grp").select(
@@ -61,10 +76,11 @@ def psi_vs_global(
     )
     ghist = hist.groupBy("bucket").agg(F.sum("cnt").alias("gcnt"))
     p = ghist.select("bucket", (F.col("gcnt") / F.lit(gtotal)).alias("p"))
-    joined = q.join(p, "bucket", "left").select(
+    grid = totals.select("grp").crossJoin(p)
+    joined = grid.join(q, ["grp", "bucket"], "left").select(
         "grp",
-        F.greatest(F.col("q"), F.lit(EPS)).alias("qc"),
-        F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(EPS)).alias("pc"),
+        F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(EPS)).alias("qc"),
+        F.greatest(F.col("p"), F.lit(EPS)).alias("pc"),
     )
     return (
         joined.groupBy("grp")
@@ -127,7 +143,9 @@ def ks_vs_global(
 
     Like psi_vs_global, the histogram is cached so the table is scanned
     exactly once; the grand total comes from the histogram itself."""
-    hist = histogram(df, col, group_col, lo, hi, buckets).cache()
+    from ..functions.cache import track
+
+    hist = track(histogram(df, col, group_col, lo, hi, buckets).cache())
     gtotal = float(hist.agg(F.sum("cnt")).first()[0])
     totals = hist.groupBy("grp").agg(F.sum("cnt").alias("total"))
     ghist = hist.groupBy("bucket").agg(F.sum("cnt").alias("gcnt"))

@@ -24,8 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime classes are on the JVM classpath.
+
+    Must actually load the class: attribute access on spark._jvm returns a
+    py4j JavaPackage placeholder WITHOUT raising for absent classes, so a
+    bare `spark._jvm.org.apache.iceberg.Table` probe is always truthy and
+    the parquet fallback would never engage."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # type: ignore[union-attr]
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.Table"
+        )
         return True
     except Exception:  # noqa: BLE001
         return False

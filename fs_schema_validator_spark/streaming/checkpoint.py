@@ -86,15 +86,21 @@ class ResumableValidator:
         self.partition_col = partition_col
         self.engine_version = engine_version
 
+    def _part_col(self) -> F.Column:
+        """Partition value as a string, nulls rendered '<null>': a null
+        partition would crash sorted() (None vs str) and — worse — fall
+        out of every isin() filter, leaving its rows permanently
+        unvalidated."""
+        return F.coalesce(
+            F.col(self.partition_col).cast("string"), F.lit("<null>")
+        )
+
     def pending_partitions(
         self, df: DataFrame, rules_yaml: str, snapshot_id: str = "-"
     ) -> list[str]:
         rh = rules_fingerprint(rules_yaml)
         all_parts = [
-            r[0]
-            for r in df.select(F.col(self.partition_col).cast("string"))
-            .distinct()
-            .collect()
+            r[0] for r in df.select(self._part_col()).distinct().collect()
         ]
         done = {
             r[0]
@@ -142,15 +148,28 @@ class ResumableValidator:
         pending = self.pending_partitions(df, rules_yaml, snapshot_id)
         if not pending:
             return {}
-        part = F.col(self.partition_col).cast("string")
+        part = self._part_col()
         sub = df.filter(part.isin(pending))
         res: ValidationResult = self.engine.validate(sub, ruleset, tables)
 
         subj = F.col(self.engine.subject_col).cast("string")
-        subj_part = (
+        # ONE narrow pass over (subject, partition) feeds both the
+        # per-partition row counts and the subject->partition attribution
+        # map — only those two columns are read (column pruning), never the
+        # wide payload columns the validation scan already paid for.
+        base = (
             sub.select(subj.alias("subject"), part.alias("partition"))
-            .groupBy("subject")
-            .agg(F.min("partition").alias("partition"))
+            .groupBy("subject", "partition")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        from ..functions.cache import track
+
+        base = track(base.cache())
+        rows_by_part = base.groupBy("partition").agg(
+            F.sum("n_rows").alias("input_rows")
+        )
+        subj_part = base.groupBy("subject").agg(
+            F.min("partition").alias("partition")
         )
         viol_by_part = (
             res.violations.join(subj_part, "subject", "left")
@@ -159,9 +178,6 @@ class ResumableValidator:
             )
             .groupBy("partition")
             .agg(F.count(F.lit(1)).alias("n_violations"))
-        )
-        rows_by_part = sub.groupBy(part.alias("partition")).agg(
-            F.count(F.lit(1)).alias("input_rows")
         )
         stats = {
             r["partition"]: (
@@ -172,6 +188,7 @@ class ResumableValidator:
                 viol_by_part, "partition", "full_outer"
             ).collect()
         }
+        res.release()
 
         now = datetime.now(timezone.utc)
         results: dict[str, dict] = {}

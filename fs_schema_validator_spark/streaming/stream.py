@@ -64,22 +64,39 @@ def validate_stream(
         violations = result.sorted_violations().withColumn(
             "batch_id", F.lit(batch_id).cast("bigint")
         )
-        if violations_path is not None:
-            if on_batch is not None:
-                # Count DURING the sink write via the observe API — never
-                # re-read the accumulated sink (its cost grows with total
-                # history per micro-batch).
-                from pyspark.sql import Observation
+        try:
+            if violations_path is not None:
+                # Idempotent sink: foreachBatch is at-least-once, so a
+                # replayed batch must not duplicate its rows — dynamic
+                # partition overwrite on batch_id replaces exactly the
+                # replayed batch's partition and nothing else.
+                obs = None
+                out = violations
+                if on_batch is not None:
+                    # Count DURING the sink write via the observe API —
+                    # never re-read the accumulated sink (its cost grows
+                    # with total history per micro-batch).
+                    from pyspark.sql import Observation
 
-                obs = Observation()
-                violations.observe(
-                    obs, F.count(F.lit(1)).alias("n")
-                ).write.mode("append").parquet(violations_path)
-                on_batch(batch_id, violations, int(obs.get["n"]))
-            else:
-                violations.write.mode("append").parquet(violations_path)
-        elif on_batch is not None:
-            on_batch(batch_id, violations, violations.count())
+                    obs = Observation()
+                    out = violations.observe(
+                        obs, F.count(F.lit(1)).alias("n")
+                    )
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(violations_path)
+                )
+                if on_batch is not None:
+                    on_batch(batch_id, violations, int(obs.get["n"]))
+            elif on_batch is not None:
+                on_batch(batch_id, violations, violations.count())
+        finally:
+            # each micro-batch compiles its own plan with a persisted fused
+            # projection; release it or a long-running stream accumulates
+            # one cached DataFrame per batch
+            result.release()
 
     writer = stream_df.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint_location is not None:

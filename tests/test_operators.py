@@ -735,3 +735,68 @@ def test_stratified_sample_rate_and_determinism(spark):
         sum(1 for d in s1 if d % 2 == r) / 1500 for r in (0, 1)
     ]
     assert all(0.25 < frac < 0.35 for frac in per_g), per_g
+
+
+def test_psi_full_grid_catches_concentrated_drift(spark):
+    """A group concentrated in one bucket while the global mass is spread
+    must report LARGE psi — the grid form includes the (EPS - p) terms
+    for the group's empty buckets (a group-histogram-only join drops
+    exactly those and underestimates drift)."""
+    from fs_schema_validator_spark.functions import sketches
+
+    rows = [(i, "spread", float(i % 100)) for i in range(2000)]
+    rows += [(10_000 + i, "peaked", 5.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, grp_name string, v double")
+    out = {
+        r.grp: r.psi
+        for r in sketches.psi_vs_global(
+            df, col="v", group_col="grp_name", lo=0.0, hi=100.0, buckets=10
+        ).collect()
+    }
+    assert out["peaked"] > 3.0, out  # concentrated: many dropped-mass terms
+    assert out["spread"] > 0.1, out
+
+
+def test_histogram_excludes_nulls(spark):
+    from fs_schema_validator_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [(1, "g", 10.0), (2, "g", None), (3, "g", 90.0)],
+        "id bigint, grp_name string, v double",
+    )
+    hist = {
+        (r.grp, r.bucket): r.cnt
+        for r in sketches.histogram(
+            df, "v", "grp_name", 0.0, 100.0, 10
+        ).collect()
+    }
+    assert hist == {("g", 1): 1, ("g", 9): 1}  # null row in NO bucket
+
+
+def test_iceberg_probe_is_false_without_runtime(spark):
+    from fs_schema_validator_spark.sources import tables
+
+    assert tables.iceberg_available(spark) is False
+    assert tables.current_snapshot_id(spark, "some_table") == "-"
+
+
+def test_summary_counts_each_violation_once_and_surfaces_orphans(spark):
+    df = spark.createDataFrame(
+        [("d1", "cc", []), ("d1", "wiki", [1]), ("d2", "cc", [2])],
+        "doc_id string, source string, tokens array<int>",
+    )
+    manifest = spark.createDataFrame([("d1",), ("d2",), ("d9",)], "doc_id string")
+    rules = """
+schema:
+  - {type: not_empty, column: tokens}
+  - {type: completeness, id: c, manifest: m, key: doc_id}
+"""
+    res = ValidationEngine(subject_col="doc_id").validate(df, rules, {"m": manifest})
+    s = {r.source: (r.rows, r.violations) for r in res.summary("source").collect()}
+    # d1 spans cc+wiki; its single not_empty violation counts ONCE (min
+    # group 'cc'); orphan d9's completeness violation gets its own row
+    assert s["cc"] == (2, 1)
+    assert s["wiki"] == (1, 0)
+    assert s[None] == (0, 1)
+    total = res.violations.count()
+    assert sum(v for _, v in s.values()) == total
