@@ -135,11 +135,14 @@ def main() -> None:
 
     plan = ValidationEngine("doc_id").compile(seq, SEQ_RULES, tables)
     fused = plan.fused_projection()
+    # the single Exchange is the TINY vocab-dim dedupe aggregation (one
+    # row per source) feeding the broadcast — the wide base table still
+    # flows shuffle-free into the projection
     sections.append(
         audit(
             "sequences fused projection (one wide pass)",
             fused,
-            {"has_broadcast": True, "max_exchanges": 0},
+            {"has_broadcast": True, "max_exchanges": 1},
         )
     )
     violations = plan.violations()
