@@ -109,6 +109,10 @@ UNION ALL
 SELECT CAST(doc_id AS VARCHAR), 'nchars_bounds', 4,
        '`n_chars`: Input should be greater than or equal to 1'
 FROM c WHERE n_chars < 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'nchars_bounds', 4,
+       '`n_chars`: Input should be less than or equal to 100000'
+FROM c WHERE n_chars > 100000
 """
 
 
@@ -518,10 +522,14 @@ UNION ALL
 SELECT doc_id, 'tokens_not_empty', 3, '`tokens`: cannot be empty'
 FROM seq WHERE tokens IS NOT NULL AND len(tokens) = 0
 UNION ALL
--- rule 4: n_tok bounds
+-- rule 4: n_tok bounds (both ends — the max side fires once _SEQ_N >= 512)
 SELECT doc_id, 'ntok_bounds', 4,
        '`n_tok`: Input should be greater than or equal to 1'
 FROM seq WHERE n_tok < 1
+UNION ALL
+SELECT doc_id, 'ntok_bounds', 4,
+       '`n_tok`: Input should be less than or equal to 512'
+FROM seq WHERE n_tok > 512
 UNION ALL
 -- rule 5: uniqueness
 SELECT doc_id, 'doc_id_unique', 5, 'duplicate key'
@@ -697,26 +705,7 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fs_schema_validator_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.when(
-            F.col("doc_id") % 31 == 0, F.encode(F.lit("GARBAGE"), "utf-8")
-        )
-        .otherwise(
-            F.encode(
-                F.format_string("IMG:%dx%d:payload-%d",
-                                (F.col("doc_id") % 64 + 1).cast("int"),
-                                (F.col("doc_id") % 48 + 1).cast("int"),
-                                F.col("doc_id")),
-                "utf-8",
-            )
-        )
-        .alias("payload"),
-        F.lit("image").alias("media_type"),
-        (F.col("doc_id") % 64 + 1).cast("int").alias("declared_width"),
-        (F.col("doc_id") % 48 + 1).cast("int").alias("declared_height"),
-    )
+    media = _media_table(spark, sf_dir)
     feats = multimodal.extract_features(media)
     return multimodal.metadata_violations(feats, media)
 
@@ -811,9 +800,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: MinHash+LSH candidates, exact-Jaccard verify.
 
-    Matches the O(n²) exact-Jaccard oracle because the planted near-dups sit
-    at Jaccard ≥ 0.9, where 16-band/4-row LSH recall is 1 − (1 − 0.9⁴)¹⁶ ≈
-    1 − 4e-8."""
+    Matches the O(n²) exact-Jaccard oracle because every fixture pair at or
+    above the 0.5 report threshold sits at Jaccard ≥ 0.88, where
+    16-band/4-row LSH recall is ≥ 1 − (1 − 0.88⁴)¹⁶ ≈ 1 − 3e-7. A fixture
+    with pairs near J ≈ 0.6 would make this equality probabilistic (~11%
+    all-band miss per such pair) — at that point compare against the
+    candidates ∩ oracle intersection instead."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = dedup.minhash_signatures(docs, k=3, num_perm=64)
     cand = dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
@@ -1474,11 +1466,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY vec_id"
         ),
         "json_props_validation": (
+            # all four engine branches mirrored (missing key, wrong type,
+            # below min, above max) — engine reasons verified directly
             "WITH e AS (SELECT event_id, CASE WHEN event_id % 97 = 0 "
             "THEN '{\"k\": \"oops\"}' ELSE props END AS props FROM events) "
             "SELECT CAST(event_id AS VARCHAR) AS subject, 'props_spec' AS rule_id, "
-            "'`k`: Input should be a valid integer' AS reason "
+            "'`k`: Field required' AS reason "
+            "FROM e WHERE json_type(props, '$.k') IS NULL "
+            "UNION ALL "
+            "SELECT CAST(event_id AS VARCHAR), 'props_spec', "
+            "'`k`: Input should be a valid integer' "
             "FROM e WHERE json_type(props, '$.k') NOT IN ('BIGINT', 'UBIGINT') "
+            "UNION ALL "
+            "SELECT CAST(event_id AS VARCHAR), 'props_spec', "
+            "'`k`: Input should be greater than or equal to 0' "
+            "FROM e WHERE json_type(props, '$.k') IN ('BIGINT', 'UBIGINT') "
+            "AND TRY_CAST(json_extract(props, '$.k') AS BIGINT) < 0 "
             "UNION ALL "
             "SELECT CAST(event_id AS VARCHAR), 'props_spec', "
             "'`k`: Input should be less than or equal to 50' "
@@ -1486,7 +1489,9 @@ def oracle_sql() -> dict[str, str]:
             "AND TRY_CAST(json_extract(props, '$.k') AS BIGINT) > 50"
         ),
         "violations_grouped": (
-            f"WITH c AS ({_CORRUPT_DOCS_SQL}), v AS ({FLAGSHIP_ORACLE.replace('WITH c AS', 'WITH c2 AS').replace('FROM c', 'FROM c2')}) "
+            # FLAGSHIP_ORACLE (itself a WITH...SELECT) nests directly as a
+            # CTE body — no brittle string surgery on its internals
+            f"WITH v AS ({FLAGSHIP_ORACLE}) "
             "SELECT subject, CAST(count(*) AS BIGINT) AS n_reasons, "
             "string_agg(reason, ' | ' ORDER BY rule_seq) AS reasons_str "
             "FROM v GROUP BY subject"
@@ -1596,7 +1601,8 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks": (
             "WITH h AS (SELECT lang AS grp, least(11, greatest(0, "
             "CAST(floor((n_chars - 0.0) / 50.0) AS INT))) AS bucket, "
-            "count(*) AS cnt FROM documents GROUP BY 1, 2), "
+            "count(*) AS cnt FROM documents "
+            "WHERE n_chars IS NOT NULL GROUP BY 1, 2), "
             "t AS (SELECT grp, sum(cnt) AS total FROM h GROUP BY 1), "
             "g AS (SELECT bucket, sum(cnt) AS gcnt FROM h GROUP BY 1), "
             "p AS (SELECT bucket, gcnt / (SELECT CAST(count(*) AS DOUBLE) "

@@ -136,8 +136,12 @@ def _materialize_sequences(spark, n: int, base: Path) -> tuple[str, str]:
     # gets balanced scan tasks (8 fat files would cap a 32-core reader at 8
     # tasks — measured scaling efficiency 0.32 vs 0.8+ with this layout).
     parts = 64
-    seq_path = base / f"sequences_{n}_p{parts}"
-    ref_path = base / f"reference_{n}_p{parts}"
+    # cache key includes the generator recipe: editing the corruption
+    # cadence or synth logic must invalidate the materialized parquet, not
+    # silently benchmark stale data
+    gen_tag = "c997d101"
+    seq_path = base / f"sequences_{n}_p{parts}_{gen_tag}"
+    ref_path = base / f"reference_{n}_p{parts}_{gen_tag}"
     if not (seq_path / "_SUCCESS").exists():
         seq = synth.with_duplicates(
             synth.corrupt_sequences(
@@ -164,7 +168,12 @@ def bench_sequences(spark, sf_dir: str) -> dict:
         "reference_tokens": spark.read.parquet(ref_path),
         "ref_distribution": synth.gen_ref_distribution(spark),
     }
-    total_tokens = seq.agg(F.sum(F.size("tokens"))).first()[0]
+    # measure the table actually validated (generation adds a duplicate
+    # block on top of n), so rows/sec and tokens/sec share one basis
+    stats = seq.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum(F.size("tokens")).alias("toks")
+    ).first()
+    n_actual, total_tokens = int(stats["rows"]), int(stats["toks"])
 
     # First pass pays whole-stage-codegen JIT compilation (~10s) which is
     # irrelevant at production scale; report the MIN of three steady-state
@@ -195,8 +204,8 @@ def bench_sequences(spark, sf_dir: str) -> dict:
         steals.append(round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 1))
     elapsed = min(timings[1:])
     return {
-        "seq_rows": n,
-        "seq_total_tokens": int(total_tokens),
+        "seq_rows": n_actual,
+        "seq_total_tokens": total_tokens,
         "seq_violations": n_viol,
         "seq_validate_sec": round(elapsed, 3),
         "seq_validate_cold_sec": round(timings[0], 3),
@@ -205,7 +214,7 @@ def bench_sequences(spark, sf_dir: str) -> dict:
         # the steal column says how contaminated this particular run was
         "seq_validate_passes": [round(t, 3) for t in timings],
         "seq_steal_pct": steals,
-        "seq_rows_per_sec": round(n / elapsed, 1),
+        "seq_rows_per_sec": round(n_actual / elapsed, 1),
         "seq_tokens_per_sec": round(total_tokens / elapsed, 1),
     }
 

@@ -54,6 +54,12 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not produce a green "0 failures" run that
+        # checked nothing
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        failures += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
