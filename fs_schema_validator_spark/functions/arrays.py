@@ -194,16 +194,37 @@ def minhash_signatures_from_hashes(
 
     def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            sig = minhash_mix_kernel(batch.column("_h"), num_perm)
+            h = batch.column("_h")
+            sig = minhash_mix_kernel(h, num_perm)
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(id_col),
-                    pa.array(list(sig), type=pa.list_(pa.int64())),
+                    pa.array(
+                        list(sig),
+                        type=pa.list_(pa.int64()),
+                        mask=_degenerate_rows(h),
+                    ),
                 ],
                 names=[id_col, "sig"],
             )
 
     return src.mapInArrow(compute, out_schema)
+
+
+def _degenerate_rows(h: pa.Array) -> np.ndarray:
+    """Bool mask of null / empty hash-list rows.
+
+    These rows have no shingles to minimize over, so the kernels would
+    emit an identical all-sentinel signature for every one of them — and
+    identical signatures collide in EVERY LSH band, pairing all null-text
+    docs with each other. The SQL oracle (NULL word list → NULL band
+    keys) emits no pairs for them, so the signature wrappers emit NULL
+    sig rows instead; banding's explode drops nulls and both engines
+    agree: degenerate docs never pair."""
+    if isinstance(h, pa.ChunkedArray):
+        h = h.combine_chunks()
+    _, lengths, _, validity = _list_views(h)
+    return ~validity | (lengths == 0)
 
 
 def minhash_mix_mod_kernel(
@@ -247,11 +268,16 @@ def minhash_signatures_from_hashes_mod(
 
     def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            sig = minhash_mix_mod_kernel(batch.column("_h"), constants, modulus)
+            h = batch.column("_h")
+            sig = minhash_mix_mod_kernel(h, constants, modulus)
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(id_col),
-                    pa.array(list(sig), type=pa.list_(pa.int64())),
+                    pa.array(
+                        list(sig),
+                        type=pa.list_(pa.int64()),
+                        mask=_degenerate_rows(h),
+                    ),
                 ],
                 names=[id_col, "sig"],
             )

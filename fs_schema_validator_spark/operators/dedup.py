@@ -305,13 +305,21 @@ def minhash_signatures(
 
         hashed = df.select("doc_id", base.alias("_h"))
         return minhash_signatures_from_hashes(hashed, "_h", "doc_id", num_perm)
+    # Null text ⇒ null base ⇒ the inner `when` yields a null nested array
+    # and flatten propagates it to a NULL sig (not an array of 64 nulls,
+    # which would survive lsh_candidate_pairs' isNotNull screen and make
+    # every null doc collide via xxhash64-of-nulls bucket keys). Matches
+    # the Arrow wrappers' null-masked rows (arrays._degenerate_rows).
     sig = F.flatten(
         F.transform(
             F.array(base),
-            lambda h: F.transform(
-                F.sequence(F.lit(0), F.lit(num_perm - 1)),
-                lambda p: F.array_min(
-                    F.transform(h, lambda x: F.xxhash64(x, p))
+            lambda h: F.when(
+                h.isNotNull() & (F.size(h) > 0),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(num_perm - 1)),
+                    lambda p: F.array_min(
+                        F.transform(h, lambda x: F.xxhash64(x, p))
+                    ),
                 ),
             ),
         )
@@ -365,9 +373,17 @@ def lsh_candidate_pairs(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(b.alias("band"), bucket_of(b).alias("bucket")),
     )
-    banded = signatures.select(
-        "doc_id", F.explode(bucket_structs).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+    # NULL signatures (null/empty-shingle docs — the Arrow wrappers emit
+    # them as null rows, see arrays._degenerate_rows) must be dropped
+    # HERE: the banding transform maps a null sig to `bands` rows with a
+    # null bucket, and groupBy treats null buckets as equal — every
+    # degenerate doc would land in one bucket and pair with all others,
+    # while the SQL oracle's NULL band keys emit no pairs.
+    banded = (
+        signatures.filter(F.col("sig").isNotNull())
+        .select("doc_id", F.explode(bucket_structs).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bucket")
+    )
     return bucket_pairs(
         banded, ["band", "bucket"], "doc_id", "doc_a", "doc_b", max_bucket
     )

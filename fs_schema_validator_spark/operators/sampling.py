@@ -45,7 +45,19 @@ def stratified_sample(
     the exact same rows."""
     parts = [F.lit(salt)]
     for g in group_cols or []:
-        parts.append(F.col(g).cast("string"))
+        # Two traps in a naive concat_ws of raw group values: (1)
+        # concat_ws silently SKIPS nulls, so a null-lang row would hash
+        # as if ungrouped while the SQL oracle's `||` yields NULL and
+        # excludes it; (2) a '|' inside a value aliases distinct strata
+        # onto one hash input. Encoding each part as 'n' (null) or
+        # 'v'||md5(value) is never-null and delimiter-free, and DuckDB
+        # replays it verbatim.
+        c = F.col(g).cast("string")
+        parts.append(
+            F.when(c.isNull(), F.lit("n")).otherwise(
+                F.concat(F.lit("v"), F.md5(c))
+            )
+        )
     parts.append(F.col(id_col).cast("string"))
     bucket = split_bucket(F.concat_ws("|", *parts), 100, salt="")
     return df.filter(bucket < fraction_pct)

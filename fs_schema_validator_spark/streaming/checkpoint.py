@@ -152,7 +152,14 @@ class ResumableValidator:
         sub = df.filter(part.isin(pending))
         res: ValidationResult = self.engine.validate(sub, ruleset, tables)
 
-        subj = F.col(self.engine.subject_col).cast("string")
+        # Same '<null>' rendering the engine applies to violation subjects
+        # (engine.py:89,108): a bare cast here would leave null-subject
+        # violations unjoinable to their partition — misattributed to
+        # '(global)', and a partition whose only violations have null
+        # subjects would be recorded PASS.
+        subj = F.coalesce(
+            F.col(self.engine.subject_col).cast("string"), F.lit("<null>")
+        )
         # ONE narrow pass over (subject, partition) feeds both the
         # per-partition row counts and the subject->partition attribution
         # map — only those two columns are read (column pruning), never the

@@ -258,3 +258,24 @@ def test_run_counts_each_violation_exactly_once(spark, tmp_path):
         ValidationEngine(subject_col="doc_id").validate(both, RULES).violations.count()
     )
     assert total == engine_total
+
+
+def test_null_subject_violations_attributed_to_their_partition(spark, tmp_path):
+    """A partition whose ONLY violating rows have a NULL subject must
+    still FAIL (ADVICE r2): the attribution join renders subjects
+    '<null>' exactly like the engine's violation surface — a bare cast
+    would send these to '(global)' and record the partition as PASS."""
+    store = ParquetManifestStore(spark, str(tmp_path / "manifest"))
+    v = ResumableValidator(
+        ValidationEngine(subject_col="doc_id"), store, partition_col="source"
+    )
+    df = spark.createDataFrame(
+        [("d1", "good", [1]), (None, "nullbad", []), ("d2", "nullbad", [2])],
+        "doc_id string, source string, tokens array<int>",
+    )
+    rules = "schema:\n  - {type: not_empty, column: tokens}\n"
+    res = v.run(df, rules, snapshot_id="s1")
+    assert res["good"]["verdict"] == "PASS"
+    assert res["nullbad"]["verdict"] == "FAIL"
+    assert res["nullbad"]["n_violations"] == 1
+    assert "(global)" not in res

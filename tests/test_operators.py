@@ -800,3 +800,71 @@ schema:
     assert s[None] == (0, 1)
     total = res.violations.count()
     assert sum(v for _, v in s.values()) == total
+
+
+@pytest.mark.parametrize("strategy", ["arrow", "sql", "portable"])
+def test_null_text_docs_never_pair(spark, strategy):
+    """Null-text docs must emit NO candidate pairs (ADVICE r2): a sentinel
+    signature would make every null doc collide in every LSH band, while
+    the SQL oracle's NULL band keys emit none. The Arrow wrappers emit
+    NULL sig rows and banding drops them before grouping."""
+    rows = [(i, _doc(i)) for i in range(10)]
+    rows += [(100, None), (101, None), (102, None), (103, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    if strategy == "portable":
+        sigs = dedup.minhash_signatures_portable(df, k=3, num_perm=64)
+    else:
+        sigs = dedup.minhash_signatures(df, k=3, num_perm=64, strategy=strategy)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=4).collect()
+    involved = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert not involved & {100, 101, 102, 103}, (
+        f"degenerate docs paired: {sorted(involved & {100, 101, 102, 103})}"
+    )
+
+
+def test_stratified_sample_null_group_and_delimiter(spark):
+    """Null group values and '|' inside values must not alias strata
+    (ADVICE r2: concat_ws silently skips nulls; raw '|' collides). The
+    hash input encodes each group part as 'n' | 'v'+md5(value); this
+    replays the exact membership in pure Python."""
+    import hashlib
+
+    from fs_schema_validator_spark.operators import sampling
+
+    rows = [(i, None if i % 3 == 0 else ("a|b" if i % 3 == 1 else "a"))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    got = {r.doc_id for r in
+           sampling.stratified_sample(df, "doc_id", 20, ["lang"]).collect()}
+
+    def enc(lang):
+        if lang is None:
+            return "n"
+        return "v" + hashlib.md5(lang.encode()).hexdigest()
+
+    expect = set()
+    for i, lang in rows:
+        payload = f"sample|{enc(lang)}|{i}"
+        h = int(hashlib.md5(payload.encode()).hexdigest()[:15], 16)
+        if h % 100 < 20:
+            expect.add(i)
+    assert got == expect
+    # every stratum (incl. the null one) is represented
+    for r in (0, 1, 2):
+        assert any(i % 3 == r for i in got), f"stratum {r} empty"
+
+
+def test_parity_tool_rejects_complex_output_columns(spark):
+    """tools/oracle_parity.py must reproduce the driver's failure mode on
+    array-typed output cells (round-2's skew_salted_stats escape)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import oracle_parity as op
+
+    df = spark.createDataFrame([(1, [1, 2])], "id bigint, xs array<bigint>")
+    assert op.complex_cols(df) == ["xs"]
+    assert op.complex_cols(df.select("id")) == []
+    with pytest.raises(TypeError, match="unhashable"):
+        op.norm_rows(["id", "xs"], [(1, [1, 2])])

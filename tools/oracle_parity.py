@@ -24,7 +24,29 @@ TABLES = [
 ]
 
 
+def complex_cols(sdf) -> list[str]:
+    """Top-level array/map/struct output columns.
+
+    The driver canonicalizes results with pandas (sorted columns, hashed
+    cell values); a list/dict cell is unhashable there and the gate
+    ERRORS — exactly how round-2's `skew_salted_stats` shipped red while
+    this tool's old stringify-everything normalizer passed it. Queries
+    must serialize complex outputs (array_join / to_json / md5) before
+    returning."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def norm_cell(v):
+    if isinstance(v, (list, dict, tuple)):
+        # mirror the driver: pandas cannot hash these
+        raise TypeError(f"unhashable cell type {type(v).__name__} (driver "
+                        "canonicalizer would error)")
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -66,6 +88,13 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            bad = complex_cols(sdf)
+            if bad:
+                print(f"FAIL  {name}: array/map/struct output column(s) "
+                      f"{bad} — driver canonicalizer cannot hash these; "
+                      "serialize (array_join/to_json) before returning")
+                failures += 1
+                continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:  # noqa: BLE001
@@ -92,12 +121,17 @@ def main() -> int:
             print(f"FAIL  {name}: rowcount {len(srows)} vs {len(drows)}")
             ok = False
         else:
-            a = norm_rows(scols, srows)
-            b = norm_rows(dcols, drows)
-            if a != b:
-                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                print(f"FAIL  {name}: values differ; first diffs: {diffs}")
+            try:
+                a = norm_rows(scols, srows)
+                b = norm_rows(dcols, drows)
+            except TypeError as ex:
+                print(f"FAIL  {name}: {ex}")
                 ok = False
+            else:
+                if a != b:
+                    diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                    print(f"FAIL  {name}: values differ; first diffs: {diffs}")
+                    ok = False
         if ok:
             print(f"ok    {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
         else:
