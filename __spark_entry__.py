@@ -960,6 +960,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster")
 
 
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters under the O(log n) large-star/small-star contraction
+    (operators/graph.py strategy="star") — same pairs, same recursive-CTE
+    oracle, proving both CC strategies produce the identical labeling."""
+    from fs_schema_validator_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = dedup.minhash_signatures_portable(docs, k=3, num_perm=64)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, bands=16, rows_per_band=4, bucket="tuple", max_bucket=None
+    )
+    cc = graph.connected_components(pairs, strategy="star")
+    return cc.select(F.col("node").alias("doc_id"), "cluster")
+
+
 def table_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass column profiler (operators/profile.py) in exact mode so
     DuckDB value-checks null/distinct/min/max per column; production runs
@@ -1131,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_scores_all": cosine_scores_all,
         "dedup_keep_first": dedup_keep_first,
         "multimodal_frame_sample": multimodal_frame_sample,
+        "dedup_clusters_star": dedup_clusters_star,
     }
 
 
@@ -1773,6 +1789,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM s"
         ),
         "dedup_clusters": f"""
+WITH RECURSIVE
+pairs AS ({_minhash_lsh_oracle()}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
+FROM reach GROUP BY a
+""",
+        "dedup_clusters_star": f"""
 WITH RECURSIVE
 pairs AS ({_minhash_lsh_oracle()}),
 und AS (SELECT doc_a AS a, doc_b AS b FROM pairs

@@ -219,6 +219,67 @@ def bench_sequences(spark, sf_dir: str) -> dict:
     }
 
 
+def bench_skewed_dedup(spark, base: Path) -> dict:
+    """Hot-bucket stress: a 10^5-member boilerplate dup cluster + 10^5
+    distinct docs through the CAPPED near-dup pipeline (signatures → LSH
+    banding with the default max_bucket=512 → connected components).
+
+    This is the adversarial case the cap exists for — uncapped banding
+    would expand ~10^10 pairs in one task. The assertion (one cluster,
+    pair count linear in the cluster) is checked in tests; here it is
+    timed so a regression to superlinear behavior shows up as a wall-time
+    cliff, not just a failed unit test."""
+    n_bg = n_dup = 100_000
+    path = base / f"skewdocs_{n_bg}_{n_dup}"
+    if not (path / "_SUCCESS").exists():
+        bg = spark.range(n_bg).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.substring(
+                        F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{j}"))),
+                        1,
+                        8,
+                    )
+                    for j in range(12)
+                ],
+            ).alias("text"),
+        )
+        dup = spark.range(n_dup).select(
+            (F.col("id") + 1_000_000).alias("doc_id"),
+            F.lit(
+                "identical boilerplate paragraph repeated across the corpus "
+                "alpha bravo charlie delta echo foxtrot golf hotel"
+            ).alias("text"),
+        )
+        bg.unionByName(dup).repartition(64).write.mode("overwrite").parquet(
+            str(path)
+        )
+    docs = spark.read.parquet(str(path))
+
+    from fs_schema_validator_spark.functions import cache as df_cache
+    from fs_schema_validator_spark.operators import dedup as dedup_ops
+    from fs_schema_validator_spark.operators import graph
+
+    t0 = time.time()
+    sigs = dedup_ops.minhash_signatures(docs, k=3, num_perm=64)
+    pairs = dedup_ops.lsh_candidate_pairs(
+        sigs, bands=16, rows_per_band=4
+    )  # default max_bucket=512 — the scale path
+    cc = graph.connected_components(pairs)
+    planted = cc.filter(F.col("node") >= 1_000_000)
+    n_nodes = planted.count()
+    n_clusters = planted.select("cluster").distinct().count()
+    elapsed = round(time.time() - t0, 3)
+    df_cache.release_all()
+    return {
+        "skew_lsh_sec": elapsed,
+        "skew_cluster_members": n_nodes,
+        "skew_cluster_count": n_clusters,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -260,6 +321,11 @@ def main() -> None:
     # drop caches accumulated by the query suite (LSH banding etc.) so the
     # sequences workload is measured on a quiet executor
     spark.catalog.clearCache()
+    base = Path(os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/fsv_bench"))
+    base.mkdir(parents=True, exist_ok=True)
+    skew_stats = bench_skewed_dedup(spark, base)
+    timings["skew_lsh_dedup"] = skew_stats["skew_lsh_sec"]
+    spark.catalog.clearCache()
     seq_stats = bench_sequences(spark, sf_dir)
 
     total = round(sum(timings.values()) + seq_stats["seq_validate_sec"], 3)
@@ -270,6 +336,7 @@ def main() -> None:
         "queries": {**timings, "seq_validate": seq_stats["seq_validate_sec"]},
         "sf": Path(sf_dir).name,
         "cpus": cpus,
+        **skew_stats,
         **seq_stats,
     }
     print(json.dumps(out))

@@ -51,11 +51,73 @@ class FakeCodec:
         except (ValueError, IndexError):
             return None
 
+    @staticmethod
+    def resize(payload: bytes, width: int, height: int) -> bytes | None:
+        """Synthetic resize: re-emit the container with target dims and a
+        deterministic md5-derived body (what the DuckDB oracle replays)."""
+        if FakeCodec.decode(payload) is None:
+            return None
+        data = hashlib.md5(payload).hexdigest().encode()
+        return b"IMG:%dx%d:%s" % (width, height, data)
+
+
+class PillowCodec:  # pragma: no cover - Pillow is absent in this sandbox
+    """Real image codec, used automatically when Pillow is importable
+    (`default_codec()`); same interface as FakeCodec. Mirrors the
+    reference's decode-to-validate behavior
+    (/root/reference/fs_schema_validator/schemas/image.py:38-74: open the
+    payload with PIL, treat any decode error as invalid)."""
+
+    @staticmethod
+    def decode(payload: bytes) -> tuple[int, int] | None:
+        if payload is None:
+            return None
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return im.size
+        except Exception:  # noqa: BLE001 - any decode failure = invalid
+            return None
+
+    @staticmethod
+    def resize(payload: bytes, width: int, height: int) -> bytes | None:
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                fmt = im.format or "PNG"
+                buf = io.BytesIO()
+                im.resize((width, height)).save(buf, format=fmt)
+                return buf.getvalue()
+        except Exception:  # noqa: BLE001
+            return None
+
+
+def pillow_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def default_codec():
+    """PillowCodec when the real library exists, FakeCodec otherwise —
+    the sandbox runs deterministic fakes; a production image pipeline
+    gets real decoding with no code change."""
+    return PillowCodec if pillow_available() else FakeCodec
+
 
 def real_decode(payload: bytes):  # pragma: no cover - container has no codecs
     raise NotImplementedError(
-        "image/audio codecs are not available in this environment; "
-        "swap FakeCodec for a Pillow/ffmpeg-backed codec in production"
+        "no real codec importable in this environment; install Pillow "
+        "(PillowCodec picks it up via default_codec()) or pass an "
+        "ffmpeg-backed codec for audio/video"
     )
 
 
@@ -106,16 +168,9 @@ def resize(
         for pdf in batches:
             out_ok, out_payload = [], []
             for p in pdf["payload"]:
-                d = codec.decode(p)
-                if d is None:
-                    out_ok.append(False)
-                    out_payload.append(None)
-                else:
-                    data = hashlib.md5(p).hexdigest().encode()
-                    out_ok.append(True)
-                    out_payload.append(
-                        b"IMG:%dx%d:%s" % (target_width, target_height, data)
-                    )
+                r = codec.resize(p, target_width, target_height)
+                out_ok.append(r is not None)
+                out_payload.append(r)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -91,7 +91,17 @@ def validate_stream(
                 if on_batch is not None:
                     on_batch(batch_id, violations, int(obs.get["n"]))
             elif on_batch is not None:
-                on_batch(batch_id, violations, violations.count())
+                # Sink-less callers: cache-count-release so the batch
+                # pipeline executes ONCE — a bare .count() would run the
+                # whole validation again for anything the callback does
+                # with `violations` (the cache is released after the
+                # callback returns, so the DataFrame is only valid inside
+                # it — same contract as the batch engine's release()).
+                cached = violations.persist()
+                try:
+                    on_batch(batch_id, cached, cached.count())
+                finally:
+                    cached.unpersist()
         finally:
             # each micro-batch compiles its own plan with a persisted fused
             # projection; release it or a long-running stream accumulates

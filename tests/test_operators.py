@@ -868,3 +868,134 @@ def test_parity_tool_rejects_complex_output_columns(spark):
     assert op.complex_cols(df.select("id")) == []
     with pytest.raises(TypeError, match="unhashable"):
         op.norm_rows(["id", "xs"], [(1, [1, 2])])
+
+
+@pytest.mark.parametrize("strategy", ["propagate", "star"])
+def test_connected_components_strategies_agree(spark, strategy):
+    """Both CC strategies produce the identical (node → component-min)
+    labeling on a mixed random graph."""
+    import random
+
+    from fs_schema_validator_spark.operators import graph
+
+    rng = random.Random(13)
+    edges_py = [(rng.randrange(150), rng.randrange(150)) for _ in range(120)]
+    edges_py = [(x, y) for x, y in edges_py if x != y]
+    df = spark.createDataFrame(edges_py, "doc_a bigint, doc_b bigint")
+    got = {
+        (r.node, r.cluster)
+        for r in graph.connected_components(
+            df, strategy=strategy, max_iter=40
+        ).collect()
+    }
+
+    # pure-Python union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edges_py:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    expect = {(n, find(n)) for n in parent}
+    assert got == expect
+
+
+def test_star_strategy_handles_long_paths_in_few_rounds(spark):
+    """A 40-edge path (diameter 40) defeats min-label propagation at
+    max_iter=10 but star contraction converges well inside it — the
+    O(log n) claim the propagate docstring defers to."""
+    from fs_schema_validator_spark.operators import graph
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(chain, max_iter=10)
+    cc = {
+        r.node: r.cluster
+        for r in graph.connected_components(
+            chain, strategy="star", max_iter=10
+        ).collect()
+    }
+    assert cc == {i: 0 for i in range(41)}
+
+
+def test_hot_bucket_cap_keeps_planted_cluster_connected(spark):
+    """Realistic-skew contract (VERDICT r2 item 6): a dup cluster far over
+    max_bucket must (a) expand O(N + cap²) pairs, not O(N²), and (b) stay
+    ONE connected component end-to-end via the star tail — under both CC
+    strategies."""
+    from fs_schema_validator_spark.operators import graph
+
+    n_dup, cap = 3000, 64
+    boiler = "identical boilerplate terms " + " ".join(WORDS[:12])
+    rows = [(i, _doc(i)) for i in range(50)]
+    rows += [(10_000 + i, boiler) for i in range(n_dup)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = dedup.minhash_signatures(df, k=3, num_perm=64)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, bands=16, rows_per_band=4, max_bucket=cap
+    )
+    from fs_schema_validator_spark.functions.cache import track
+
+    pairs = track(pairs.cache())
+    n_pairs = pairs.count()
+    # clique over the first cap members + one star edge per tail member;
+    # random background collisions can only add a handful
+    assert n_pairs < cap * (cap - 1) // 2 + (n_dup - cap) + 100, n_pairs
+    assert n_pairs >= cap * (cap - 1) // 2 + (n_dup - cap)
+    for strategy in ("propagate", "star"):
+        cc = graph.connected_components(pairs, strategy=strategy)
+        planted = cc.filter(F.col("node") >= 10_000)
+        clusters = planted.select("cluster").distinct().count()
+        assert clusters == 1, f"{strategy}: cluster split into {clusters}"
+        assert planted.count() == n_dup
+    from fs_schema_validator_spark.functions.cache import release_all
+
+    release_all()
+
+
+def test_default_codec_selection():
+    """FakeCodec in this sandbox (no Pillow); PillowCodec picked up
+    automatically where the real library exists."""
+    expected = (
+        multimodal.PillowCodec
+        if multimodal.pillow_available()
+        else multimodal.FakeCodec
+    )
+    assert multimodal.default_codec() is expected
+
+
+@pytest.mark.skipif(
+    "not __import__('fs_schema_validator_spark.operators.multimodal', "
+    "fromlist=['multimodal']).pillow_available()",
+    reason="Pillow not installed in this sandbox",
+)
+def test_pillow_codec_real_image_roundtrip(spark):
+    """Exercised only where Pillow exists: a real PNG decodes to its true
+    dims through the same Spark plumbing the FakeCodec path uses."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16)).save(buf, "PNG")
+    df = spark.createDataFrame(
+        [("m1", bytearray(buf.getvalue()), "image", 32, 16)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.extract_features(df, codec=multimodal.PillowCodec).collect()
+    assert feats[0].ok and (feats[0].actual_width, feats[0].actual_height) == (32, 16)
+    resized = multimodal.resize(
+        df, target_width=8, target_height=6, codec=multimodal.PillowCodec
+    ).collect()
+    assert resized[0].ok
+    with Image.open(io.BytesIO(resized[0].payload)) as im:
+        assert im.size == (8, 6)

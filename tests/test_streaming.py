@@ -173,3 +173,36 @@ def test_dedup_stream_drops_replayed_keys(spark, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == 30
     assert got.select("doc_id").distinct().count() == 30
+
+
+def test_sinkless_on_batch_caches_and_releases(spark, tmp_path):
+    """violations_path=None callers get a CACHED violations frame: the
+    count and anything the callback does run one pipeline execution, and
+    the cache is released when the callback returns (VERDICT r2 item 5 —
+    the old branch re-executed the whole validation per callback action)."""
+    src = tmp_path / "incoming"
+    batch = synth.corrupt_sequences(synth.gen_sequences(spark, 20), every=10)
+    batch.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+
+    seen: list[tuple[int, bool, int]] = []
+    frames = []
+
+    def cb(bid, df, n):
+        # cached while the callback runs; a second action (count) must
+        # agree with the observed n without error
+        seen.append((bid, df.storageLevel.useMemory, n))
+        assert df.count() == n
+        frames.append(df)
+
+    q = validate_stream(
+        stream,
+        RULES,
+        checkpoint_location=str(tmp_path / "chk"),
+        on_batch=cb,
+    )
+    q.awaitTermination(120)
+
+    assert seen and seen[0][1] is True and seen[0][2] > 0
+    # released after the callback returned
+    assert frames[0].storageLevel.useMemory is False
