@@ -1059,10 +1059,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
-    quality = textstats.quality_features(kept)
-    lang = textstats.lang_id(kept)
-    joined = kept.select("doc_id").join(quality, "doc_id").join(lang, "doc_id")
-    return joined.filter(
+    # ONE fused pass: quality keeps (text, lang) alive for lang_id via
+    # passthrough, so the gates stack on a single lineage. The previous
+    # 3-way join-back on doc_id re-executed the union+dedup window once
+    # per branch — 6 parquet scans and 3 window shuffles for the same
+    # answer (plan-audited: now 2 scans, 1 shuffle).
+    feats = textstats.lang_id(
+        textstats.quality_features(kept, passthrough=["text", "lang"]),
+        passthrough=["n_words", "avg_word_len"],
+    )
+    return feats.filter(
         (F.col("n_words") >= 30)
         & F.col("agree")
         & (F.col("avg_word_len") <= 10.0)

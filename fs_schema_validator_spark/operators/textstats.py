@@ -42,9 +42,19 @@ def _stopword_count(w: Column, lang: str) -> Column:
     return F.size(F.filter(w, lambda t: t.isin(*vocab)))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
     """Per-document quality scoring: length, word stats, punct/stopword
-    ratios. Everything rounded so engine-vs-oracle hashing is stable."""
+    ratios. Everything rounded so engine-vs-oracle hashing is stable.
+
+    `passthrough` keeps the named input columns in the projection so a
+    downstream stage (e.g. lang_id in the curation pipeline) can consume
+    this output directly instead of joining back on doc_id — each branch
+    of such a join would re-execute this projection's whole upstream
+    lineage (union + dedup window), tripling the scans."""
     w = words(F.col(text_col))
     n_words = F.size(w)
     n_chars = F.length(F.col(text_col))
@@ -61,6 +71,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).otherwise(F.lit(0.0))
     return df.select(
         "doc_id",
+        *(passthrough or []),
         n_chars.cast("bigint").alias("n_chars_seen"),
         n_words.cast("bigint").alias("n_words"),
         avg_word_len.alias("avg_word_len"),
@@ -68,14 +79,24 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
     """Stopword-vote language ID: the language whose stopword inventory
-    matches most tokens wins; ties and zero votes -> 'und'."""
+    matches most tokens wins; ties and zero votes -> 'und'.
+    `passthrough` as in quality_features."""
     w = words(F.col(text_col))
     votes = [
         _stopword_count(w, lang).alias(f"v_{lang}") for lang in STOPWORDS
     ]
-    scored = df.select("doc_id", F.col("lang").alias("labeled_lang"), *votes)
+    scored = df.select(
+        "doc_id",
+        *(passthrough or []),
+        F.col("lang").alias("labeled_lang"),
+        *votes,
+    )
     langs = list(STOPWORDS)
     best = F.greatest(*[F.col(f"v_{lang}") for lang in langs])
     pred = F.lit("und")
@@ -86,6 +107,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).otherwise(pred)
     return scored.select(
         "doc_id",
+        *(passthrough or []),
         "labeled_lang",
         pred.alias("predicted_lang"),
         (pred == F.col("labeled_lang")).alias("agree"),

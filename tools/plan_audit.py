@@ -234,6 +234,58 @@ def main() -> None:
         )
     )
 
+    # as-of join: union + carry-forward window — never a nested loop
+    sections.append(
+        audit(
+            "asof_join_marks (union + carry-forward window, no nested loop)",
+            qs["asof_join_marks"](spark, SF_DIR),
+            {"max_scans": 2, "max_exchanges": 2,
+             "plan_excludes": "CartesianProduct"},
+        )
+    )
+    # range join: overlap-bucket equi-join against the tiny interval grid
+    sections.append(
+        audit(
+            "range_join_sizes (overlap-bucket equi-join)",
+            qs["range_join_sizes"](spark, SF_DIR),
+            {"max_scans": 1, "has_broadcast": True,
+             "plan_excludes": "CartesianProduct"},
+        )
+    )
+    # curation pipeline: the gates stack on ONE lineage (passthrough
+    # feature projections) — 2 scans (union branches), 1 dedup-window
+    # shuffle, no join-back
+    sections.append(
+        audit(
+            "curation_pipeline (fused gates, single dedup shuffle)",
+            qs["curation_pipeline"](spark, SF_DIR),
+            {"max_scans": 2, "max_exchanges": 1,
+             "plan_excludes": "SortMergeJoin"},
+        )
+    )
+    # dedup_clusters' pair source (the CC loop itself is iterative with
+    # eager localCheckpoints, so the interesting static plan is the
+    # candidate pipeline feeding it): banding groupBy, no self-join
+    from fs_schema_validator_spark.operators import dedup as dedup_ops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cc_pairs = dedup_ops.lsh_candidate_pairs(
+        dedup_ops.minhash_signatures_portable(docs, k=3, num_perm=64),
+        bands=16,
+        rows_per_band=4,
+        bucket="tuple",
+        max_bucket=None,
+    )
+    sections.append(
+        audit(
+            "dedup_clusters pair source (banding groupBy, no self-join)",
+            cc_pairs,
+            {"max_scans": 1, "plan_excludes": "SortMergeJoin"},
+        )
+    )
+
     md = ["# PLANS — physical-plan audit\n",
           "Generated by `tools/plan_audit.py` at sf0.01 / n=1000 synth.",
           "Expectations are asserted; FAIL lines are plan regressions.\n"]
