@@ -163,11 +163,13 @@ Raw CPU busy-loop throughput (multiprocessing, no Spark):
 This sandbox's vCPUs stop scaling linearly above ~8-16 threads
 (8->32-thread raw efficiency = {hw_eff_32:.2f}), and — the harder wall — the
 box's shared memory system caps the parquet token-column scan at ~2 cores
-(pure `sum(size(tokens))` over the same input measured 5.2s / 2.2s / 2.4s at
-1 / 2 / 8 cores when first calibrated; under to-day's heavier neighbor load
-the same probe reads 11.1s / 5.5s / 2.3s — per-core bandwidth halves while
-the aggregate floor stays put, direct evidence the wall is the HOST's
-memory system, not this job). A real cluster adds memory channels and
+(pure `sum(size(tokens))` over the same input: 5.2s / 2.2s / 2.4s at
+1 / 2 / 8 cores when first calibrated; during round 2's heavy neighbor
+load the same probe read 11.1s / 5.5s / 2.3s — per-core bandwidth halved
+while the aggregate floor stayed put — and in round 3's quiet window it
+recovered to 4.1-5.5s at 1 core: the swing tracks the HOST's load, with
+identical code, direct evidence the wall is the host's memory system,
+not this job). A real cluster adds memory channels and
 disks with every executor, so neither wall exists there. The N-vs-4N criterion is therefore evidenced at {lo_c} vs
 {hi_c} cores, below both walls, where the raw hardware scales at
 {hw_eff:.2f} efficiency — any remaining gap is the job graph's.
