@@ -711,7 +711,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fs_schema_validator_spark.operators import multimodal
 
     media = _media_table(spark, sf_dir)
-    feats = multimodal.extract_features(media)
+    # FakeCodec pinned: these fixtures are synthetic IMG:/VID: containers
+    # and the DuckDB oracle replays the fake's md5 math — auto codec
+    # selection (Pillow on a real machine) would break the gate
+    feats = multimodal.extract_features(media, codec=multimodal.FakeCodec)
     return multimodal.metadata_violations(feats, media)
 
 
@@ -747,7 +750,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fs_schema_validator_spark.operators import multimodal
 
     media = _media_table(spark, sf_dir)
-    out = multimodal.resize(media, target_width=8, target_height=6)
+    out = multimodal.resize(
+        media, target_width=8, target_height=6, codec=multimodal.FakeCodec
+    )
     return out.select(
         "media_id",
         "ok",
@@ -774,8 +779,14 @@ def skew_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = skew.salted_collect_list(
         docs, ["lang"], "doc_id", salt_buckets=16
     ).withColumnRenamed("values", "doc_ids")
-    return counts.join(lists, "lang").select(
-        "lang",
+    # null-SAFE join key: both aggregations emit a NULL-lang group row,
+    # and the oracle's plain GROUP BY lang does too — a bare
+    # join(..., "lang") would silently drop it
+    joined = counts.alias("c").join(
+        lists.alias("l"), F.col("c.lang").eqNullSafe(F.col("l.lang"))
+    )
+    return joined.select(
+        F.col("c.lang").alias("lang"),
         "n",
         F.array_join(
             F.transform("doc_ids", lambda x: x.cast("string")), ","
@@ -1183,8 +1194,16 @@ def _minhash_lsh_oracle() -> str:
     perms = ", ".join(
         f"({p}, {a}, {b})" for p, (a, b) in enumerate(minhash31_constants(64))
     )
+    # text IS NOT NULL mirrors the engine's null-sig drop: DuckDB would
+    # otherwise KEEP null-text docs with sig=[NULL x64] and its hash join
+    # matches list keys containing NULLs ([NULL]=[NULL] joins), pairing
+    # every null doc — the opposite of the engine, which emits NULL sigs
+    # and drops them before banding. Empty-STRING docs are kept: both
+    # engines give them the same sentinel shingle, so they pair with each
+    # other (they are exact dups) consistently.
     return f"""
-WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents
+           WHERE text IS NOT NULL),
 wh AS (SELECT doc_id, list_transform(w, t -> {_hex15('t')} % {m}) AS wh,
               len(w) AS n
        FROM w),

@@ -410,8 +410,10 @@ def main() -> None:
     spark.catalog.clearCache()
     base = Path(os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/fsv_bench"))
     base.mkdir(parents=True, exist_ok=True)
+    # reported as its own skew_* fields ONLY — folding it into `timings`
+    # would inflate the headline `value` relative to prior-round baselines
+    # that lacked this workload, reading as a code regression
     skew_stats = bench_skewed_dedup(spark, base)
-    timings["skew_lsh_dedup"] = skew_stats["skew_lsh_sec"]
     spark.catalog.clearCache()
     seq_stats = bench_sequences(spark, sf_dir)
 

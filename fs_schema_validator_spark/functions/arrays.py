@@ -214,13 +214,18 @@ def minhash_signatures_from_hashes(
 def _degenerate_rows(h: pa.Array) -> np.ndarray:
     """Bool mask of null / empty hash-list rows.
 
-    These rows have no shingles to minimize over, so the kernels would
-    emit an identical all-sentinel signature for every one of them — and
-    identical signatures collide in EVERY LSH band, pairing all null-text
-    docs with each other. The SQL oracle (NULL word list → NULL band
-    keys) emits no pairs for them, so the signature wrappers emit NULL
-    sig rows instead; banding's explode drops nulls and both engines
-    agree: degenerate docs never pair."""
+    These rows have no hashes to minimize over, so the kernels would emit
+    an identical all-sentinel signature for every one of them — and
+    identical signatures collide in EVERY LSH band, pairing all such docs
+    with each other. The signature wrappers emit NULL sig rows instead;
+    banding drops them, and the driver's SQL oracle excludes null-text
+    docs to match (DuckDB's join would otherwise pair sig=[NULL..] keys).
+
+    Note the empty branch is defensive for DIRECT kernel callers feeding
+    arbitrary hash columns: the engine's own shingle builders never
+    produce an empty list — empty TEXT yields a one-element sentinel
+    shingle, so empty-string docs keep a valid signature and pair with
+    each other (they are exact dups) identically in both engines."""
     if isinstance(h, pa.ChunkedArray):
         h = h.combine_chunks()
     _, lengths, _, validity = _list_views(h)

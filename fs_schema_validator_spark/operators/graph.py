@@ -132,22 +132,28 @@ def _star_components(
     topology — the scale path the propagate loop documents."""
     from pyspark.sql import Observation
 
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # canonical directed edge list: larger -> smaller, self-loops dropped
-    e = (
+    # ONE materialization of the (typically expensive) upstream pair
+    # pipeline: canonicalize with self-loops retained, checkpoint, then
+    # derive both the node universe and the working edge list from the
+    # checkpointed block — a separate nodes checkpoint would run the
+    # whole LSH/banding lineage a second time (the double-execution the
+    # propagate strategy's own comment warns against).
+    canon = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
             F.least(F.col(src), F.col(dst)).alias("b"),
         )
-        .where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    nodes = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    # working edge list: larger -> smaller, self-loops dropped
+    e = canon.where(F.col("a") != F.col("b"))
+    prev_e = None
     prev_sig: tuple[int, int] | None = None
     for _ in range(max_iter):
         # --- large-star: consider each undirected edge from both ends ---
@@ -186,10 +192,19 @@ def _star_components(
             # the sum cannot overflow long under ANSI (needs 2^31 rows)
             F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(2**32))).alias("h"),
         )
-        e = observed.localCheckpoint(eager=True)
+        prev_e, e = e, observed.localCheckpoint(eager=True)
         sig = (int(obs.get["n"] or 0), int(obs.get["h"] or 0))
         if sig == prev_sig:
-            break
+            # the signature is probabilistic (a colliding pair of edge
+            # sets terminates early and returns wrong labels silently) —
+            # confirm set equality EXACTLY with one anti-join over the
+            # two checkpointed lists before declaring the fixpoint; this
+            # runs once per signature match, not per round
+            if (
+                prev_e.join(e, ["a", "b"], "left_anti").limit(1).count()
+                == 0
+            ):
+                break
         prev_sig = sig
     else:
         raise RuntimeError(

@@ -121,10 +121,14 @@ def real_decode(payload: bytes):  # pragma: no cover - container has no codecs
     )
 
 
-def extract_features(df: DataFrame, codec=FakeCodec) -> DataFrame:
+def extract_features(df: DataFrame, codec=None) -> DataFrame:
     """Decode payloads and emit per-media features via Arrow-batched
     mapInPandas; per-batch vectorized metadata handling, codec applied per
-    payload (unavoidable for codecs; batching amortizes transfer)."""
+    payload (unavoidable for codecs; batching amortizes transfer).
+    codec=None means default_codec() — PillowCodec where importable,
+    FakeCodec here; pass FakeCodec explicitly for hermetic synthetic
+    fixtures (the oracle-gated driver queries do)."""
+    codec = codec if codec is not None else default_codec()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -154,7 +158,7 @@ FRAME_SCHEMA = "media_id string, frame_idx int, frame_payload binary"
 
 
 def resize(
-    df: DataFrame, target_width: int, target_height: int, codec=FakeCodec
+    df: DataFrame, target_width: int, target_height: int, codec=None
 ) -> DataFrame:
     """Resize decoded payloads to target dims via Arrow-batched mapInPandas.
 
@@ -162,7 +166,8 @@ def resize(
     dims and a deterministic payload hash (a real build swaps in
     Pillow/libvips here — the Spark plumbing, schemas, and batch shape are
     the tested part). Undecodable payloads pass through with ok=false so
-    downstream rules can flag them."""
+    downstream rules can flag them. codec=None -> default_codec()."""
+    codec = codec if codec is not None else default_codec()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -184,7 +189,7 @@ def resize(
     return df.mapInPandas(run, RESIZED_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_n: int = 10, codec=FakeCodec) -> DataFrame:
+def sample_frames(df: DataFrame, every_n: int = 10, codec=None) -> DataFrame:
     """Sample every Nth frame from video payloads (synthetic container
     ``b"VID:<n_frames>:<data>"``) — a one-to-many mapInPandas: each media
     row fans out to its sampled frames, so downstream per-frame feature

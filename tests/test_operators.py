@@ -805,21 +805,63 @@ schema:
 @pytest.mark.parametrize("strategy", ["arrow", "sql", "portable"])
 def test_null_text_docs_never_pair(spark, strategy):
     """Null-text docs must emit NO candidate pairs (ADVICE r2): a sentinel
-    signature would make every null doc collide in every LSH band, while
-    the SQL oracle's NULL band keys emit none. The Arrow wrappers emit
-    NULL sig rows and banding drops them before grouping."""
+    signature would make every null doc collide in every LSH band. The
+    wrappers emit NULL sigs, banding drops them, and the SQL oracle
+    excludes null-text docs to match. Empty-STRING docs are NOT
+    degenerate: they carry the one-element sentinel shingle, so two empty
+    docs pair with each other (exact dups) — in both engines."""
     rows = [(i, _doc(i)) for i in range(10)]
-    rows += [(100, None), (101, None), (102, None), (103, "")]
+    rows += [(100, None), (101, None), (102, None), (103, ""), (104, "")]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     if strategy == "portable":
         sigs = dedup.minhash_signatures_portable(df, k=3, num_perm=64)
     else:
         sigs = dedup.minhash_signatures(df, k=3, num_perm=64, strategy=strategy)
-    pairs = dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=4).collect()
-    involved = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
-    assert not involved & {100, 101, 102, 103}, (
-        f"degenerate docs paired: {sorted(involved & {100, 101, 102, 103})}"
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(
+            sigs, bands=16, rows_per_band=4
+        ).collect()
+    }
+    involved = {a for a, _ in pairs} | {b for _, b in pairs}
+    assert not involved & {100, 101, 102}, (
+        f"null docs paired: {sorted(involved & {100, 101, 102})}"
     )
+    assert (103, 104) in pairs
+    assert all(103 not in p and 104 not in p for p in pairs - {(103, 104)})
+
+
+def test_minhash_oracle_agrees_on_null_and_empty_text(spark, tmp_path):
+    """Cross-engine repro of the review finding: DuckDB's hash join pairs
+    sig=[NULL..] list keys, so without the oracle's `text IS NOT NULL`
+    exclusion null docs form an all-pairs clique there while the engine
+    emits none. Runs the REAL oracle SQL and the REAL driver query on a
+    null/empty fixture and asserts identical pair sets."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    rows = [(i, _doc(i)) for i in range(8)]
+    rows += [(100, None), (101, None), (102, None), (103, ""), (104, "")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in entrymod.queries()["minhash_lsh_pairs"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = {tuple(r) for r in con.sql(
+        entrymod.oracle_sql()["minhash_lsh_pairs"]
+    ).fetchall()}
+    assert got == want
+    assert (103, 104) in got  # empty-string docs pair in BOTH engines
+    assert not ({100, 101, 102} & {x for p in got for x in p})
 
 
 def test_stratified_sample_null_group_and_delimiter(spark):
@@ -999,3 +1041,31 @@ def test_pillow_codec_real_image_roundtrip(spark):
     assert resized[0].ok
     with Image.open(io.BytesIO(resized[0].payload)) as im:
         assert im.size == (8, 6)
+
+
+def test_skew_salted_stats_keeps_null_lang_group(spark, tmp_path):
+    """The counts↔lists join is null-SAFE: a NULL-lang group must appear
+    in engine output exactly as the oracle's plain GROUP BY emits it."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    rows = [(1, "en"), (2, "en"), (3, None), (4, None), (5, "de")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r.lang, r.n, r.doc_ids)
+        for r in entrymod.queries()["skew_salted_stats"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = {tuple(r) for r in con.sql(
+        entrymod.oracle_sql()["skew_salted_stats"]
+    ).fetchall()}
+    assert got == want
+    assert (None, 2, "3,4") in got
