@@ -1086,6 +1086,28 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_words", "predicted_lang")
 
 
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/textstats.py::
+    repetition_features): duplicate-line fraction + top word-2-gram share,
+    the standard boilerplate screens for pretraining corpora."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.repetition_features(docs)
+
+
+def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — low-entropy docs are
+    templated/repetitive; explode → two partial-agg groupBys."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.unigram_entropy(docs)
+
+
+def pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection/redaction counts (emails, phone-like runs) and the
+    post-scrub length — pure codegen regex, oracle-replayed in RE2."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.pii_scrub(docs)
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -1129,13 +1151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sigs": simhash_sigs,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
-        "embedding_dim_violations": embedding_dim_violations,
         "array_mismatch_index": array_mismatch_index,
         "multimodal_features": multimodal_features,
         "json_props_validation": json_props_validation,
         "violations_grouped": violations_grouped,
-        "stats_threshold_violations": stats_threshold_violations,
-        "window_running_total": window_running_total,
         "sessionize_events": sessionize_events,
         "topn_per_group": topn_per_group,
         "minhash_dedup_verified": minhash_dedup_verified,
@@ -1149,6 +1168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_marks": asof_join_marks,
         "range_join_sizes": range_join_sizes,
         "dedup_clusters": dedup_clusters,
+        "repetition_quality": repetition_quality,
+        "unigram_entropy": unigram_entropy,
+        "pii_scrub_counts": pii_scrub_counts,
         "table_profile_documents": table_profile_documents,
         "split_assignment": split_assignment,
         "sequence_packing": sequence_packing,
@@ -1164,6 +1186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": dedup_keep_first,
         "multimodal_frame_sample": multimodal_frame_sample,
         "dedup_clusters_star": dedup_clusters_star,
+        "window_running_total": window_running_total,
+        "embedding_dim_violations": embedding_dim_violations,
+        "stats_threshold_violations": stats_threshold_violations,
     }
 
 
@@ -1812,6 +1837,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(st % 2048 AS BIGINT) AS start_offset, "
             "CAST(floor((st + n_chars - 1) / 2048.0) AS BIGINT) AS end_bin "
             "FROM s"
+        ),
+        "repetition_quality": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS w, "
+            "list_filter(string_split(text, chr(10)), x -> x != '') AS lines "
+            "FROM documents), "
+            "g AS (SELECT doc_id, lines, CASE WHEN len(w) >= 2 "
+            "THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) "
+            "ELSE [] END AS grams FROM t), "
+            "c AS (SELECT doc_id, gram, count(*) AS c FROM g, "
+            "UNNEST(grams) AS u(gram) GROUP BY doc_id, gram), "
+            "tp AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM c "
+            "GROUP BY doc_id) "
+            "SELECT g.doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
+            "CASE WHEN len(lines) > 0 THEN round(1.0 - "
+            "len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 4) "
+            "ELSE 0.0 END AS dup_line_frac, "
+            "COALESCE(round(top / CAST(tot AS DOUBLE), 4), 0.0) "
+            "AS top_2gram_frac "
+            "FROM g LEFT JOIN tp USING (doc_id)"
+        ),
+        "unigram_entropy": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS w FROM documents), "
+            "c AS (SELECT doc_id, word, count(*) AS c FROM t, "
+            "UNNEST(w) AS u(word) GROUP BY doc_id, word), "
+            "a AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s FROM c "
+            "GROUP BY doc_id) "
+            "SELECT t.doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_words, "
+            "COALESCE(round(ln(n) - s / n, 4), 0.0) AS entropy "
+            "FROM t LEFT JOIN a USING (doc_id)"
+        ),
+        "pii_scrub_counts": (
+            "SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(text, '{textstats.EMAIL_RE}')) "
+            "AS BIGINT) AS n_emails, "
+            f"CAST(len(regexp_extract_all(text, '{textstats.PHONE_RE}')) "
+            "AS BIGINT) AS n_phones, "
+            "CAST(length(regexp_replace(regexp_replace(text, "
+            f"'{textstats.EMAIL_RE}', '<EMAIL>', 'g'), "
+            f"'{textstats.PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) "
+            "AS scrubbed_len FROM documents"
         ),
         "dedup_clusters": f"""
 WITH RECURSIVE

@@ -152,6 +152,119 @@ def subword_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns kept engine-portable: Java regex (Spark) and RE2 (DuckDB)
+# agree on these constructs (character classes, bounded repetition, greedy
+# quantifiers with no backtracking ambiguity).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, top_2gram_frac) — Gopher-style
+    repetition quality signals (Rae et al. 2021 §A1.1): the fraction of
+    duplicate lines and the share of the most frequent word 2-gram.
+    Boilerplate/templated documents light up both.
+
+    Line dedup is in-expression (split + array_distinct, codegen). The
+    2-gram mode needs a per-(doc, gram) count — explode → two partial-agg
+    groupBys keyed by doc_id, the scalable shape (map-side combine; no
+    per-doc O(n²) HOF scan). Docs with <2 words get top_2gram_frac=0 via
+    explode_outer's null row."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: ln != F.lit("")
+    )
+    n_lines = F.size(lines)
+    dup_frac = F.when(
+        n_lines > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    w = words(F.col(text_col))
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+        ),
+    )
+    base = df.select(
+        "doc_id",
+        n_lines.cast("bigint").alias("n_lines"),
+        dup_frac.alias("dup_line_frac"),
+        F.explode_outer(grams).alias("_gram"),
+    )
+    counts = base.groupBy(
+        "doc_id", "n_lines", "dup_line_frac", "_gram"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = counts.groupBy("doc_id", "n_lines", "dup_line_frac").agg(
+        F.sum(F.when(F.col("_gram").isNotNull(), F.col("_c"))).alias("_tot"),
+        F.max(F.when(F.col("_gram").isNotNull(), F.col("_c"))).alias("_top"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        F.coalesce(
+            F.round(F.col("_top") / F.col("_tot").cast("double"), 4),
+            F.lit(0.0),
+        ).alias("top_2gram_frac"),
+    )
+
+
+def unigram_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, entropy) — Shannon entropy (nats) of the
+    document's unigram distribution: ln(N) − Σ c·ln(c) / N. Low-entropy
+    docs are repetitive/templated; a standard pretraining quality gate.
+
+    Shape: explode → (doc, word) partial-agg count → one per-doc agg.
+    The entropy identity keeps every aggregated term a function of the
+    integer count c, so both engines sum identical term values (only fp
+    addition order differs, absorbed by round-4)."""
+    e = df.select("doc_id", F.explode_outer(words(F.col(text_col))).alias("_w"))
+    counts = e.groupBy("doc_id", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("_w").isNotNull(), F.col("_c"))).alias("_n"),
+        F.sum(
+            F.when(
+                F.col("_w").isNotNull(),
+                F.col("_c") * F.log(F.col("_c").cast("double")),
+            )
+        ).alias("_s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce(
+            F.round(
+                F.log(F.col("_n").cast("double")) - F.col("_s") / F.col("_n"),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("entropy"),
+    )
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_phones, scrubbed_len) — PII detection counts
+    and the length after replacing matches with <EMAIL>/<PHONE> tags.
+    Pure codegen regex (one pass per pattern), the shape for redaction
+    sweeps over a 100 TB corpus; the oracle replays with RE2 global
+    replace."""
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        "doc_id",
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    )
+
+
 def vocab_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -1069,3 +1069,64 @@ def test_skew_salted_stats_keeps_null_lang_group(spark, tmp_path):
     ).fetchall()}
     assert got == want
     assert (None, 2, "3,4") in got
+
+
+def test_repetition_features_flags_boilerplate(spark):
+    """Planted: a templated doc (repeated lines + dominant 2-gram) vs a
+    varied doc; Gopher-style signals must separate them."""
+    boiler = "buy now click here\nbuy now click here\nbuy now click here"
+    varied = "alpha bravo charlie delta\necho foxtrot golf hotel"
+    df = spark.createDataFrame(
+        [(1, boiler), (2, varied), (3, ""), (4, "single")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in textstats.repetition_features(df).collect()}
+    assert got[1].n_lines == 3
+    assert got[1].dup_line_frac == pytest.approx(1 - 1 / 3, abs=1e-4)
+    # "buy now"/"now click"/"click here" each appear 3x of 9+2... the top
+    # 2-gram share: 12 grams total per line boundarylessness — compute:
+    # words = 12, grams = 11; "now click" appears 3x -> but "here buy"
+    # crosses lines (split is on whitespace incl newline) 2x; top=3
+    assert got[1].top_2gram_frac == pytest.approx(3 / 11, abs=1e-4)
+    assert got[2].dup_line_frac == 0.0
+    assert got[2].top_2gram_frac == pytest.approx(1 / 7, abs=1e-4)
+    assert got[3].n_lines == 0 and got[3].top_2gram_frac == 0.0
+    assert got[4].top_2gram_frac == 0.0  # <2 words -> no grams
+
+
+def test_unigram_entropy_extremes(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "same same same same"),          # entropy 0
+            (2, "a b c d"),                      # uniform: ln(4)
+            (3, ""),                             # empty: 0
+            (4, "x x y"),                        # 2/3,1/3 mix
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.entropy) for r in textstats.unigram_entropy(df).collect()}
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, round(math.log(4), 4))
+    assert got[3] == (0, 0.0)
+    expected = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert got[4] == (3, round(expected, 4))
+
+
+def test_pii_scrub_counts_and_replacement(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+x@example.org or bob@test.io"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "no pii here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in textstats.pii_scrub(df).collect()}
+    assert got[1].n_emails == 2 and got[1].n_phones == 0
+    assert got[2].n_phones == 1 and got[2].n_emails == 0
+    assert got[3].n_emails == 0 and got[3].n_phones == 0
+    # scrubbed length reflects tag substitution
+    assert got[3].scrubbed_len == len("no pii here")
+    assert got[2].scrubbed_len == len("call <PHONE> today")
