@@ -1086,6 +1086,18 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_words", "predicted_lang")
 
 
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a k-means-TRAINED quantizer (distributed Lloyd,
+    operators/similarity.py::train_centroids_kmeans). Iterative floating
+    fixpoint — no SQL oracle by the driver contract's carve-out for
+    iterative algorithms (rows-only check); quality is pinned by tests
+    (inertia drop, recovered means, exact-top-k recall)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_kmeans(
+        emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, probes=4
+    )
+
+
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (operators/textstats.py::
     repetition_features): duplicate-line fraction + top word-2-gram share,
@@ -1189,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_total": window_running_total,
         "embedding_dim_violations": embedding_dim_violations,
         "stats_threshold_violations": stats_threshold_violations,
+        "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
     }
 
 

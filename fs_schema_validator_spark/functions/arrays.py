@@ -597,3 +597,46 @@ def ivf_assign_arrow(
             )
 
     return src.mapInArrow(compute, out_schema)
+
+
+def ivf_partial_sums_arrow(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, cnt, sums array<double>) PER-ARROW-BATCH partial sums for a
+    Lloyd k-means update: each batch assigns its vectors to the nearest
+    centroid (same normalized-dot matmul as ivf_assign_arrow) and emits at
+    most n_centroids rows of (count, vector-sum) — the map-side combine
+    that makes a k-means iteration one narrow pass regardless of corpus
+    size (output is O(batches × n_centroids), never O(rows)). Null/short
+    vectors are skipped."""
+    cn = centroids.astype(np.float64)
+    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    dim = cn.shape[1]
+    n_cent = cn.shape[0]
+    src = df.select(F.col(vec_col).alias("_v"))
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            mat, good = _fixed_dim_matrix(batch.column("_v"), dim)
+            if not good.any():
+                continue
+            mat = mat[good]
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cell = np.argmax((mat / norms) @ cn.T, axis=1)
+            cnt = np.bincount(cell, minlength=n_cent).astype(np.int64)
+            sums = np.zeros((n_cent, dim), dtype=np.float64)
+            np.add.at(sums, cell, mat)
+            live = cnt > 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.nonzero(live)[0].astype(np.int32)),
+                    pa.array(cnt[live]),
+                    pa.array(list(sums[live]), type=pa.list_(pa.float64())),
+                ],
+                names=["cell", "cnt", "sums"],
+            )
+
+    return src.mapInArrow(compute, "cell int, cnt bigint, sums array<double>")

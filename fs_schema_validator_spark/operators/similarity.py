@@ -353,3 +353,116 @@ def ivf_topk(
     in_cells = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col)
     candidates = df.join(F.broadcast(in_cells), id_col, "left_semi")
     return topk_cosine(candidates, query, k, vec_col, id_col)
+
+
+def _farthest_point_init(
+    sample: "np.ndarray", k: int
+) -> "np.ndarray":
+    """Greedy k-center seeding over a driver-side sample: start at row 0,
+    repeatedly add the point farthest from its nearest chosen seed.
+    Deterministic, O(sample × k), and — unlike an id-ordered head sample —
+    guaranteed to spread seeds across well-separated clusters (an
+    id-ordered head can land every seed inside ONE cluster, after which
+    Lloyd cannot recover the others: empty cells keep stale seeds)."""
+    import numpy as np
+
+    chosen = [0]
+    d2 = ((sample - sample[0]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(sample)):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    return sample[chosen]
+
+
+def train_centroids_kmeans(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init: str = "spread",
+    init_sample: int = 512,
+) -> "np.ndarray":
+    """Distributed Lloyd k-means for the IVF coarse quantizer.
+
+    init="spread" (default): a deterministic md5-ordered sample of
+    `init_sample` rows is collected (bounded driver footprint) and seeded
+    by greedy farthest-point — reproducible AND cluster-covering.
+    init="sample": the id-ordered head ivf_topk uses (kept for A/B).
+
+    Each iteration is ONE narrow pass: an Arrow kernel emits per-batch
+    (cell, count, vector-sum) partials — O(batches × n_centroids) rows,
+    never O(rows) — merged on the driver (the same bounded per-iteration
+    driver footprint MLlib's k-means accepts). Empty cells keep their
+    previous centroid.
+
+    Iterative fixpoint over floating means — deliberately NOT given a SQL
+    oracle (the driver contract's documented carve-out for iterative
+    algorithms); correctness is pinned by tests: inertia drop, recovered
+    cluster means, and exact-top-k recall on clustered fixtures."""
+    import numpy as np
+
+    from ..functions.arrays import ivf_partial_sums_arrow
+
+    if init == "spread":
+        sample_rows = (
+            df.orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(init_sample)
+            .select(vec_col)
+            .collect()
+        )
+        sample = np.asarray([[float(x) for x in r[0]] for r in sample_rows])
+        centroids = _farthest_point_init(sample, n_centroids)
+    elif init == "sample":
+        cent_rows = (
+            df.orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .select(vec_col)
+            .collect()
+        )
+        centroids = np.asarray([[float(x) for x in r[0]] for r in cent_rows])
+    else:
+        raise ValueError(f"unknown init {init!r}")
+    for _ in range(n_iter):
+        parts = ivf_partial_sums_arrow(df, centroids, vec_col).collect()
+        cnt = np.zeros(len(centroids), dtype=np.int64)
+        sums = np.zeros_like(centroids)
+        for r in parts:
+            cnt[r.cell] += r.cnt
+            sums[r.cell] += np.asarray(r.sums)
+        live = cnt > 0
+        centroids = centroids.copy()
+        centroids[live] = sums[live] / cnt[live, None]
+    return centroids
+
+
+def ivf_topk_kmeans(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    probes: int = 4,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ivf_topk with a k-means-trained quantizer: tighter cells than the
+    raw deterministic sample, so the same probe budget covers more of the
+    query's true neighborhood (higher recall at equal scan fraction)."""
+    import numpy as np
+
+    from ..functions.arrays import ivf_assign_arrow
+
+    centroids = train_centroids_kmeans(
+        df, n_centroids, n_iter, vec_col, id_col
+    )
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:probes]]
+
+    assigned = ivf_assign_arrow(df, centroids, vec_col, id_col)
+    in_cells = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col)
+    candidates = df.join(F.broadcast(in_cells), id_col, "left_semi")
+    return topk_cosine(candidates, query, k, vec_col, id_col)

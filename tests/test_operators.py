@@ -1130,3 +1130,62 @@ def test_pii_scrub_counts_and_replacement(spark):
     # scrubbed length reflects tag substitution
     assert got[3].scrubbed_len == len("no pii here")
     assert got[2].scrubbed_len == len("call <PHONE> today")
+
+
+def test_kmeans_quantizer_tightens_cells_and_keeps_recall(spark):
+    """Lloyd training must (a) move the deterministic-sample seeds onto
+    the true cluster means, (b) strictly reduce quantization inertia, and
+    (c) match exact top-k through the probed cells on clustered data."""
+    import math
+
+    import numpy as np
+
+    from fs_schema_validator_spark.operators.similarity import (
+        ivf_topk_kmeans,
+        topk_cosine,
+        train_centroids_kmeans,
+    )
+
+    rows = []
+    centers = []
+    for c in range(8):
+        center = [math.sin(c * 2.3 + d) * 5 for d in range(8)]
+        centers.append(center)
+        for j in range(25):
+            jitter = [math.sin(c * 31 + j * 7 + d) * 0.1 for d in range(8)]
+            rows.append((c * 1000 + j, [a + b for a, b in zip(center, jitter)]))
+    emb = spark.createDataFrame(
+        sorted(rows), "vec_id bigint, embedding array<double>"
+    )
+
+    def inertia(cent):
+        data = np.asarray([v for _, v in sorted(rows)])
+        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        dn = data / np.linalg.norm(data, axis=1, keepdims=True)
+        best = np.argmax(dn @ cn.T, axis=1)
+        return float(((data - cent[best]) ** 2).sum())
+
+    seeds = train_centroids_kmeans(emb, n_centroids=8, n_iter=0, init="sample")
+    trained = train_centroids_kmeans(emb, n_centroids=8, n_iter=3)
+    assert inertia(trained) < inertia(seeds) * 0.5
+    # every true cluster mean is approximated by some trained centroid
+    true_means = np.asarray(
+        [
+            np.mean(
+                [v for i, v in rows if i // 1000 == c], axis=0
+            )
+            for c in range(8)
+        ]
+    )
+    for m in true_means:
+        assert np.min(np.linalg.norm(trained - m, axis=1)) < 0.2
+
+    query = [math.sin(3 * 2.3 + d) * 5 for d in range(8)]
+    exact = [r.vec_id for r in topk_cosine(emb, query, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_topk_kmeans(
+            emb, query, k=10, n_centroids=8, probes=2, n_iter=3
+        ).collect()
+    ]
+    assert set(exact) == set(approx)

@@ -286,6 +286,31 @@ def main() -> None:
         )
     )
 
+    # new text-curation screens: one pruned scan each; the gram/word mode
+    # aggregations are two partial-agg exchanges keyed by doc_id; the PII
+    # regex pass is pure codegen, shuffle-free
+    sections.append(
+        audit(
+            "repetition_quality (explode + two partial-agg groupBys)",
+            qs["repetition_quality"](spark, SF_DIR),
+            {"max_scans": 1, "max_exchanges": 2, "schema_excludes": "lang"},
+        )
+    )
+    sections.append(
+        audit(
+            "unigram_entropy (explode + two partial-agg groupBys)",
+            qs["unigram_entropy"](spark, SF_DIR),
+            {"max_scans": 1, "max_exchanges": 2, "schema_excludes": "lang"},
+        )
+    )
+    sections.append(
+        audit(
+            "pii_scrub_counts (codegen regex, zero shuffles)",
+            qs["pii_scrub_counts"](spark, SF_DIR),
+            {"max_scans": 1, "max_exchanges": 0, "schema_excludes": "lang"},
+        )
+    )
+
     md = ["# PLANS — physical-plan audit\n",
           "Generated by `tools/plan_audit.py` at sf0.01 / n=1000 synth.",
           "Expectations are asserted; FAIL lines are plan regressions.\n"]
