@@ -1041,6 +1041,19 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.cross_table_overlap(docs, bench)
 
 
+def contamination_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination (dedup.cross_table_lsh_pairs): corpus docs
+    that are NEAR-dups of benchmark docs via cross-table portable-MinHash
+    banding — catches lightly-edited eval leaks the exact-fingerprint
+    screen (contamination_overlap) misses. Benchmark side broadcast; the
+    oracle replays both banding pipelines in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    return dedup.cross_table_lsh_pairs(docs, bench)
+
+
 def stratified_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~20% stratified sample per lang — row-local portable
     hash filter, replayed exactly by the oracle."""
@@ -1167,7 +1180,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "json_props_validation": json_props_validation,
         "violations_grouped": violations_grouped,
-        "sessionize_events": sessionize_events,
         "topn_per_group": topn_per_group,
         "minhash_dedup_verified": minhash_dedup_verified,
         "drift_ks": drift_ks,
@@ -1188,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": sequence_packing,
         "vocab_top_terms_by_lang": vocab_top_terms_by_lang,
         "contamination_overlap": contamination_overlap,
+        "contamination_near_dup": contamination_near_dup,
         "stratified_sample_ids": stratified_sample_ids,
         # --- tail: oracle-sibling / diagnostic variants (operators gated
         # above); may fall outside the driver's 50-entry window ---
@@ -1202,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_violations": embedding_dim_violations,
         "stats_threshold_violations": stats_threshold_violations,
         "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
+        "sessionize_events": sessionize_events,
     }
 
 
@@ -1218,9 +1232,19 @@ def _hex15(expr: str) -> str:
     )
 
 
-def _minhash_lsh_oracle() -> str:
-    """DuckDB replay of the portable MinHash+LSH pipeline, constants
-    embedded from the same generator the Spark kernel uses."""
+def _portable_banded_cte(prefix: str, source: str) -> str:
+    """CTE chain (comma-joined, for use inside WITH) producing
+    `{prefix}banded(doc_id, band, key)` — the DuckDB replay of the
+    engine's portable MinHash+LSH banding over `source` (a relation with
+    doc_id, text). Prefixed names let one query band two tables.
+
+    text IS NOT NULL mirrors the engine's null-sig drop: DuckDB would
+    otherwise KEEP null-text docs with sig=[NULL x64] and its hash join
+    matches list keys containing NULLs ([NULL]=[NULL] joins), pairing
+    every null doc — the opposite of the engine, which emits NULL sigs
+    and drops them before banding. Empty-STRING docs are kept: both
+    engines give them the same sentinel shingle, so they pair with each
+    other (they are exact dups) consistently."""
     from fs_schema_validator_spark.operators.dedup import (
         _SH31_C,
         MH31_MOD,
@@ -1232,37 +1256,55 @@ def _minhash_lsh_oracle() -> str:
     perms = ", ".join(
         f"({p}, {a}, {b})" for p, (a, b) in enumerate(minhash31_constants(64))
     )
-    # text IS NOT NULL mirrors the engine's null-sig drop: DuckDB would
-    # otherwise KEEP null-text docs with sig=[NULL x64] and its hash join
-    # matches list keys containing NULLs ([NULL]=[NULL] joins), pairing
-    # every null doc — the opposite of the engine, which emits NULL sigs
-    # and drops them before banding. Empty-STRING docs are kept: both
-    # engines give them the same sentinel shingle, so they pair with each
-    # other (they are exact dups) consistently.
+    q = prefix
     return f"""
-WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents
+{q}w AS (SELECT doc_id, {_WORDS} AS w FROM {source}
            WHERE text IS NOT NULL),
-wh AS (SELECT doc_id, list_transform(w, t -> {_hex15('t')} % {m}) AS wh,
+{q}wh AS (SELECT doc_id, list_transform(w, t -> {_hex15('t')} % {m}) AS wh,
               len(w) AS n
-       FROM w),
-sh AS (SELECT doc_id,
+       FROM {q}w),
+{q}sh AS (SELECT doc_id,
               CASE WHEN n < 3
                    THEN [list_reduce(list_prepend(CAST(7 AS BIGINT), wh),
                                      (h, x) -> (h * 37 + x) % {m})]
                    ELSE list_distinct(list_transform(range(1, n - 1),
                         i -> ((wh[i] * {c0}) % {m} + (wh[i+1] * {c1}) % {m}
                               + (wh[i+2] * {c2}) % {m}) % {m})) END AS sh
-       FROM wh),
-perms AS (SELECT * FROM (VALUES {perms}) t(p, a, b)),
-sigs AS (SELECT doc_id, p,
+       FROM {q}wh),
+{q}perms AS (SELECT * FROM (VALUES {perms}) t(p, a, b)),
+{q}sigs AS (SELECT doc_id, p,
                 list_min(list_transform(sh, x -> (a * x + b) % {m})) AS s
-         FROM sh CROSS JOIN perms),
-sig AS (SELECT doc_id, list(s ORDER BY p) AS sig FROM sigs GROUP BY doc_id),
-banded AS (SELECT doc_id, b AS band, sig[b*4+1 : b*4+4] AS key
-           FROM sig, generate_series(0, 15) g(b))
+         FROM {q}sh CROSS JOIN {q}perms),
+{q}sig AS (SELECT doc_id, list(s ORDER BY p) AS sig FROM {q}sigs
+           GROUP BY doc_id),
+{q}banded AS (SELECT doc_id, b AS band, sig[b*4+1 : b*4+4] AS key
+           FROM {q}sig, generate_series(0, 15) g(b))"""
+
+
+def _minhash_lsh_oracle() -> str:
+    """DuckDB replay of the portable MinHash+LSH pipeline, constants
+    embedded from the same generator the Spark kernel uses."""
+    return f"""
+WITH {_portable_banded_cte("", "documents")}
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM banded l JOIN banded r
   ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+"""
+
+
+def _contamination_near_dup_oracle() -> str:
+    """Cross-table LSH decontamination replay: band corpus and (shifted)
+    benchmark separately with the same portable pipeline, equi-join on
+    (band, key)."""
+    return f"""
+WITH csrc AS (SELECT doc_id, text FROM documents),
+bsrc AS (SELECT doc_id + 500000 AS doc_id, text FROM documents
+         WHERE doc_id % 25 = 0),
+{_portable_banded_cte("c", "csrc")},
+{_portable_banded_cte("b", "bsrc")}
+SELECT DISTINCT l.doc_id AS corpus_id, r.doc_id AS bench_id
+FROM cbanded l JOIN bbanded r
+  ON l.band = r.band AND l.key = r.key
 """
 
 
@@ -1891,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
             f"'{textstats.PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) "
             "AS scrubbed_len FROM documents"
         ),
+        "contamination_near_dup": _contamination_near_dup_oracle(),
         "dedup_clusters": f"""
 WITH RECURSIVE
 pairs AS ({_minhash_lsh_oracle()}),

@@ -595,3 +595,59 @@ def simhash_candidates(
     return bucket_pairs(
         banded, ["band", "chunk"], "doc_id", "doc_a", "doc_b", max_bucket
     )
+
+
+def cross_table_lsh_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    out_a: str = "corpus_id",
+    out_b: str = "bench_id",
+) -> DataFrame:
+    """FUZZY decontamination screen: (corpus_id, bench_id) candidate
+    near-dup pairs ACROSS two tables via portable MinHash banding — the
+    near-dup complement to the exact-fingerprint screen
+    (textstats.cross_table_overlap), catching lightly-edited benchmark
+    leaks an exact hash misses.
+
+    Cross-table banding is a plain equi-join on (band, key), never a
+    corpus × bench product; the benchmark side is orders of magnitude
+    smaller than a training corpus (10^4-10^5 rows vs 10^12), so its
+    banded keys are BROADCAST and the corpus never shuffles — the scan
+    streams once through signature kernel + hash probe. Both sides drop
+    NULL signatures (null text) exactly like lsh_candidate_pairs; the
+    driver oracle replays both banding pipelines in SQL."""
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        sigs = minhash_signatures_portable(
+            df, text_col=text_col, k=k, num_perm=num_perm
+        )
+        structs = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.slice(
+                    F.col("sig"), b * rows_per_band + 1, F.lit(rows_per_band)
+                ).alias("key"),
+            ),
+        )
+        return (
+            sigs.filter(F.col("sig").isNotNull())
+            .select(
+                F.col("doc_id").alias(out_id),
+                F.explode(structs).alias("bb"),
+            )
+            .select(out_id, "bb.band", "bb.key")
+        )
+
+    a = banded(corpus, out_a)
+    b = banded(bench, out_b)
+    return (
+        a.join(F.broadcast(b), ["band", "key"])
+        .select(out_a, out_b)
+        .distinct()
+    )

@@ -1189,3 +1189,26 @@ def test_kmeans_quantizer_tightens_cells_and_keeps_recall(spark):
         ).collect()
     ]
     assert set(exact) == set(approx)
+
+
+def test_cross_table_lsh_catches_edited_benchmark_leak(spark):
+    """A one-word-edited copy of a benchmark doc must surface in the
+    fuzzy cross-table screen while the exact-fingerprint screen misses
+    it; clean docs must not pair."""
+    corpus_rows = [(i, _doc(i)) for i in range(20)]
+    corpus_rows.append((50, _doc(3, mutate=10)))  # edited leak of bench doc
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(900 + i, _doc(i)) for i in (3, 7)], "doc_id bigint, text string"
+    )
+    fuzzy = {
+        (r.corpus_id, r.bench_id)
+        for r in dedup.cross_table_lsh_pairs(corpus, bench).collect()
+    }
+    assert (50, 903) in fuzzy          # edited leak caught
+    assert (3, 903) in fuzzy and (7, 907) in fuzzy  # exact copies too
+    exact = {
+        (r.corpus_id, r.bench_id)
+        for r in textstats.cross_table_overlap(corpus, bench).collect()
+    }
+    assert (50, 903) not in exact      # the case exact fingerprints miss

@@ -311,6 +311,16 @@ def main() -> None:
         )
     )
 
+    # fuzzy decontamination: benchmark band keys broadcast — the corpus
+    # side streams through signature kernel + hash probe, never shuffles
+    sections.append(
+        audit(
+            "contamination_near_dup (cross-table LSH, bench broadcast)",
+            qs["contamination_near_dup"](spark, SF_DIR),
+            {"has_broadcast": True, "plan_excludes": "SortMergeJoin"},
+        )
+    )
+
     md = ["# PLANS — physical-plan audit\n",
           "Generated by `tools/plan_audit.py` at sf0.01 / n=1000 synth.",
           "Expectations are asserted; FAIL lines are plan regressions.\n"]
