@@ -61,6 +61,11 @@ HEADLINE = [
     "asof_join_marks",
     "range_join_sizes",
     "dedup_clusters",
+    # round-3 additions (new operators, timed from this round on)
+    "repetition_quality",
+    "unigram_entropy",
+    "pii_scrub_counts",
+    "contamination_near_dup",
 ]
 
 SEQ_RULES = r"""
