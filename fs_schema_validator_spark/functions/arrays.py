@@ -577,7 +577,9 @@ def ivf_assign_arrow(
     broadcast variable. Null/short vectors get a NULL cell (excluded from
     every probe) instead of a garbage assignment."""
     cn = centroids.astype(np.float64)
-    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(cn, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0  # a zero centroid must not NaN-poison argmax
+    cn = cn / cnorm
     dim = cn.shape[1]
     id_field = df.schema[id_col]
     out_schema = f"{id_col} {id_field.dataType.simpleString()}, cell int"
@@ -612,7 +614,9 @@ def ivf_partial_sums_arrow(
     size (output is O(batches × n_centroids), never O(rows)). Null/short
     vectors are skipped."""
     cn = centroids.astype(np.float64)
-    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(cn, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0  # zero-centroid guard, as in ivf_assign_arrow
+    cn = cn / cnorm
     dim = cn.shape[1]
     n_cent = cn.shape[0]
     src = df.select(F.col(vec_col).alias("_v"))

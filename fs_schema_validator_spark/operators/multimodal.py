@@ -189,13 +189,15 @@ def resize(
     return df.mapInPandas(run, RESIZED_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_n: int = 10, codec=None) -> DataFrame:
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Sample every Nth frame from video payloads (synthetic container
     ``b"VID:<n_frames>:<data>"``) — a one-to-many mapInPandas: each media
     row fans out to its sampled frames, so downstream per-frame feature
     extraction parallelizes over frames, not videos. A real build decodes
     with ffmpeg; the deterministic fake derives each frame payload from
-    (payload-hash, frame_idx)."""
+    (payload-hash, frame_idx). No codec parameter: the synthetic VID:
+    container parser is inline — a real video build replaces this
+    function's body, not a pluggable decode step."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

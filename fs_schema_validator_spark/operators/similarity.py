@@ -336,17 +336,76 @@ def ivf_topk(
     The deterministic-sample quantizer keeps the operator reproducible
     (testable against exact top-k); swap the centroid source for trained
     means without touching the plan."""
+    centroids = _collect_seed_matrix(df, n_centroids, vec_col, id_col)
+    return _probe_topk(df, centroids, query, k, probes, vec_col, id_col)
+
+
+def _collect_seed_matrix(
+    df: DataFrame, n_centroids: int, vec_col: str, id_col: str
+) -> "np.ndarray":
+    """Deterministic id-ordered seed centroids; null and wrong-dimension
+    vectors are skipped (they occur in real data — the engine ships
+    embedding_dim_violations for exactly that, and the Arrow kernels
+    degrade per-row; the driver-side sample must too)."""
+    import numpy as np
+
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col))
+        .limit(n_centroids * 2)
+        .select(vec_col)
+        .collect()
+    )
+    return _clean_matrix(
+        [list(r[0]) for r in rows], n_centroids
+    )
+
+
+def _clean_matrix(vecs: list, limit: int) -> "np.ndarray":
+    """Rectangular float64 matrix from possibly-ragged driver-side rows:
+    the modal length wins, other rows are dropped, capped at `limit`."""
+    import numpy as np
+    from collections import Counter
+
+    lens = Counter(len(v) for v in vecs)
+    if not lens:
+        raise ValueError("no usable vectors to seed centroids")
+    dim = lens.most_common(1)[0][0]
+    kept = [v for v in vecs if len(v) == dim][:limit]
+    return np.asarray(kept, dtype=np.float64)
+
+
+def _safe_unit_rows(m: "np.ndarray") -> "np.ndarray":
+    """Row-normalize with a zero-norm guard: an all-zero centroid would
+    otherwise become a NaN row whose NaN scores win every argmax,
+    silently collapsing all assignments into one dead cell."""
+    import numpy as np
+
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _probe_topk(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    query: list[float],
+    k: int,
+    probes: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared IVF probe tail (used by both the sample and the k-means
+    quantizer): rank cells by query-centroid similarity, assign the
+    corpus with the Arrow matmul kernel, semi-join the probed cells,
+    exact top-k inside them."""
     import numpy as np
 
     from ..functions.arrays import ivf_assign_arrow
 
-    cent_rows = (
-        df.orderBy(F.col(id_col)).limit(n_centroids).select(vec_col).collect()
-    )
-    centroids = np.asarray([[float(x) for x in r[0]] for r in cent_rows])
     q = np.asarray(query, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = _safe_unit_rows(centroids)
     probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:probes]]
 
     assigned = ivf_assign_arrow(df, centroids, vec_col, id_col)
@@ -407,21 +466,19 @@ def train_centroids_kmeans(
 
     if init == "spread":
         sample_rows = (
-            df.orderBy(F.md5(F.col(id_col).cast("string")))
+            df.filter(F.col(vec_col).isNotNull())
+            .orderBy(F.md5(F.col(id_col).cast("string")))
             .limit(init_sample)
             .select(vec_col)
             .collect()
         )
-        sample = np.asarray([[float(x) for x in r[0]] for r in sample_rows])
+        # modal-dimension cleanup: null rows were filtered above, but
+        # wrong-dimension vectors in the sample would make the matrix
+        # ragged (asarray ValueError) — drop them like the Arrow kernels do
+        sample = _clean_matrix([list(r[0]) for r in sample_rows], init_sample)
         centroids = _farthest_point_init(sample, n_centroids)
     elif init == "sample":
-        cent_rows = (
-            df.orderBy(F.col(id_col))
-            .limit(n_centroids)
-            .select(vec_col)
-            .collect()
-        )
-        centroids = np.asarray([[float(x) for x in r[0]] for r in cent_rows])
+        centroids = _collect_seed_matrix(df, n_centroids, vec_col, id_col)
     else:
         raise ValueError(f"unknown init {init!r}")
     for _ in range(n_iter):
@@ -450,19 +507,7 @@ def ivf_topk_kmeans(
     """ivf_topk with a k-means-trained quantizer: tighter cells than the
     raw deterministic sample, so the same probe budget covers more of the
     query's true neighborhood (higher recall at equal scan fraction)."""
-    import numpy as np
-
-    from ..functions.arrays import ivf_assign_arrow
-
     centroids = train_centroids_kmeans(
         df, n_centroids, n_iter, vec_col, id_col
     )
-    q = np.asarray(query, dtype=np.float64)
-    qn = q / (np.linalg.norm(q) or 1.0)
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:probes]]
-
-    assigned = ivf_assign_arrow(df, centroids, vec_col, id_col)
-    in_cells = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col)
-    candidates = df.join(F.broadcast(in_cells), id_col, "left_semi")
-    return topk_cosine(candidates, query, k, vec_col, id_col)
+    return _probe_topk(df, centroids, query, k, probes, vec_col, id_col)

@@ -262,7 +262,14 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     and the length after replacing matches with <EMAIL>/<PHONE> tags.
     Pure codegen regex (one pass per pattern), the shape for redaction
     sweeps over a 100 TB corpus; the oracle replays with RE2 global
-    replace."""
+    replace.
+
+    Counts are detections on the RAW text; the scrub is sequential
+    (emails first, then phones on the already-tagged string), so a digit
+    run adjacent to an email can be counted as a phone yet consumed by
+    the email replacement — counts are detection totals, not a tag
+    inventory of the scrubbed output (the oracle replays the same
+    order)."""
     c = F.col(text_col)
     scrubbed = F.regexp_replace(
         F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"

@@ -191,7 +191,7 @@ def test_multimodal_declared_vs_actual(spark):
         ],
         multimodal.MEDIA_SCHEMA,
     )
-    feats = multimodal.extract_features(media)
+    feats = multimodal.extract_features(media, codec=multimodal.FakeCodec)
     violations = {
         r.subject: r.reason
         for r in multimodal.metadata_violations(feats, media).collect()
@@ -210,7 +210,12 @@ def test_multimodal_resize(spark):
         ],
         multimodal.MEDIA_SCHEMA,
     )
-    out = {r.media_id: r for r in multimodal.resize(media, 32, 24).collect()}
+    out = {
+        r.media_id: r
+        for r in multimodal.resize(
+            media, 32, 24, codec=multimodal.FakeCodec
+        ).collect()
+    }
     assert out["m1"].ok and (out["m1"].width, out["m1"].height) == (32, 24)
     assert bytes(out["m1"].payload).startswith(b"IMG:32x24:")
     assert not out["m2"].ok and out["m2"].payload is None
