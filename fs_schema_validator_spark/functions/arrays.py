@@ -614,33 +614,50 @@ def ivf_partial_sums_arrow(
     size (output is O(batches × n_centroids), never O(rows)). Null/short
     vectors are skipped."""
     cn = centroids.astype(np.float64)
-    cnorm = np.linalg.norm(cn, axis=1, keepdims=True)
-    cnorm[cnorm == 0] = 1.0  # zero-centroid guard, as in ivf_assign_arrow
-    cn = cn / cnorm
-    dim = cn.shape[1]
-    n_cent = cn.shape[0]
     src = df.select(F.col(vec_col).alias("_v"))
 
     def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            mat, good = _fixed_dim_matrix(batch.column("_v"), dim)
-            if not good.any():
+            cells, cnt, sums = ivf_partial_sums_kernel(
+                batch.column("_v"), cn
+            )
+            if not len(cells):
                 continue
-            mat = mat[good]
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            cell = np.argmax((mat / norms) @ cn.T, axis=1)
-            cnt = np.bincount(cell, minlength=n_cent).astype(np.int64)
-            sums = np.zeros((n_cent, dim), dtype=np.float64)
-            np.add.at(sums, cell, mat)
-            live = cnt > 0
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.nonzero(live)[0].astype(np.int32)),
-                    pa.array(cnt[live]),
-                    pa.array(list(sums[live]), type=pa.list_(pa.float64())),
+                    pa.array(cells),
+                    pa.array(cnt),
+                    pa.array(list(sums), type=pa.list_(pa.float64())),
                 ],
                 names=["cell", "cnt", "sums"],
             )
 
     return src.mapInArrow(compute, "cell int, cnt bigint, sums array<double>")
+
+
+def ivf_partial_sums_kernel(
+    arr: pa.Array, centroids: "np.ndarray"
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """(live_cells int32, counts int64, sums rows×dim) for one Arrow batch:
+    nearest-centroid assignment by normalized dot, skipping null/short
+    rows; zero-norm centroids and zero vectors are guarded (a NaN row
+    would win every argmax and collapse assignments into one dead cell)."""
+    cn = centroids.astype(np.float64)
+    cnorm = np.linalg.norm(cn, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0
+    cn = cn / cnorm
+    dim = cn.shape[1]
+    n_cent = cn.shape[0]
+    mat, good = _fixed_dim_matrix(arr, dim)
+    empty = np.array([], dtype=np.int32)
+    if not good.any():
+        return empty, np.array([], dtype=np.int64), np.zeros((0, dim))
+    mat = mat[good]
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cell = np.argmax((mat / norms) @ cn.T, axis=1)
+    cnt = np.bincount(cell, minlength=n_cent).astype(np.int64)
+    sums = np.zeros((n_cent, dim), dtype=np.float64)
+    np.add.at(sums, cell, mat)
+    live = cnt > 0
+    return np.nonzero(live)[0].astype(np.int32), cnt[live], sums[live]

@@ -160,3 +160,91 @@ def test_list_kernels_honor_sliced_arrays():
     x = pa.array([[1, 2], [3, 4], [5, 6]], type=pa.list_(pa.int32()))
     y = pa.array([[1, 2], [3, 9], [5, 6]], type=pa.list_(pa.int32()))
     assert first_mismatch_kernel(x.slice(1, 2), y.slice(1, 2)).tolist() == [1, -1]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.floats(-10, 10, allow_nan=False), min_size=0, max_size=6
+            ),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    offset=st.integers(0, 4),
+)
+def test_ivf_partial_sums_kernel_property(rows, offset):
+    """The partial-sums k-means kernel must match a direct NumPy replay on
+    arbitrary batches — including null rows, wrong-dimension vectors, zero
+    vectors (zero-norm centroid guard), and SLICED Arrow arrays (the
+    offset-rebasing class that bit reduceat before)."""
+    from fs_schema_validator_spark.functions.arrays import (
+        _fixed_dim_matrix,
+    )
+
+    dim = 4
+    cents = np.array(
+        [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 0, 0]]  # incl. zero centroid
+    )
+    arr = pa.array(rows, type=pa.list_(pa.float64()))
+    arr = arr.slice(min(offset, len(arr) - 1))
+
+    # replicate the kernel's contract directly
+    mat, good = _fixed_dim_matrix(arr, dim)
+    cn = cents.copy()
+    norms = np.linalg.norm(cn, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cn = cn / norms
+    expect_cnt = np.zeros(3, dtype=np.int64)
+    expect_sums = np.zeros((3, dim))
+    if good.any():
+        m = mat[good]
+        mn = np.linalg.norm(m, axis=1, keepdims=True)
+        mn[mn == 0] = 1.0
+        cell = np.argmax((m / mn) @ cn.T, axis=1)
+        expect_cnt = np.bincount(cell, minlength=3).astype(np.int64)
+        np.add.at(expect_sums, cell, m)
+        assert not np.isnan((m / mn) @ cn.T).any()  # zero-centroid guard
+
+    # drive the REAL kernel
+    from fs_schema_validator_spark.functions.arrays import (
+        ivf_partial_sums_kernel,
+    )
+
+    cells, cnt, sums = ivf_partial_sums_kernel(arr, cents)
+    got_cnt = np.zeros(3, dtype=np.int64)
+    got_sums = np.zeros((3, dim))
+    got_cnt[cells] = cnt
+    got_sums[cells] = sums
+    assert (got_cnt == expect_cnt).all()
+    assert np.allclose(got_sums, expect_sums)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.integers(0, 2**40), min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    offset=st.integers(0, 4),
+)
+def test_degenerate_rows_mask_property(rows, offset):
+    """_degenerate_rows masks exactly the null/empty rows, also on SLICED
+    arrays (a slice shifts offsets; a naive mask would misalign)."""
+    from fs_schema_validator_spark.functions.arrays import _degenerate_rows
+
+    arr = pa.array(rows, type=pa.list_(pa.int64()))
+    off = min(offset, len(arr) - 1)
+    sliced = arr.slice(off)
+    got = _degenerate_rows(sliced)
+    expect = np.array(
+        [(r is None or len(r) == 0) for r in rows[off:]], dtype=bool
+    )
+    assert (got == expect).all()
