@@ -30,14 +30,14 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..rules import model as Mdl
 from ..rules.loader import RuleSet, RuleSetError
 from . import messages as M
-from .columns import compile_checker, empty_errors, render_reason
+from .columns import compile_checker, render_reason
 
 VIOLATION_SCHEMA = "subject string, rule_id string, rule_seq int, reason string"
 

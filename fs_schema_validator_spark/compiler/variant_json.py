@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..rules import spec as S
 from . import messages as M
-from .columns import ERR_SCHEMA, empty_errors
+from .columns import empty_errors
 
 Checker = Callable[[Column, Column], Column]
 

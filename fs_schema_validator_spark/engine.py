@@ -23,7 +23,7 @@ from typing import Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .compiler.plan import VIOLATION_SCHEMA, CompiledPlan
+from .compiler.plan import CompiledPlan
 from .evaluator import Bindings
 from .rules.loader import RuleSet, RuleSetError
 

@@ -13,8 +13,6 @@ the problem; this covers the groupBy side.
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

@@ -23,7 +23,7 @@ declaration-order-within-path, sorted-across-paths output
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Union
+from typing import Union
 
 from .spec import Spec
 
