@@ -241,6 +241,32 @@ def bench_sequences(spark, sf_dir: str) -> dict:
     }
 
 
+def read_scaling_evidence() -> dict:
+    """Surface the N-vs-4N scaling result (measured by
+    tools/bench_scaling.py with fresh JVMs per level, written to
+    BENCH/BASELINE.md) in the bench JSON so the per-round artifact
+    carries the north-rule scaling criterion alongside throughput."""
+    import re
+
+    try:
+        md = (Path(__file__).resolve().parent / "BENCH" / "BASELINE.md").read_text()
+        m = re.search(
+            r"Scaling efficiency\*\* `throughput_4N / \(4 x throughput_N\)` =\n"
+            r"[^=]*= \*\*([0-9.]+)\*\*",
+            md,
+        )
+        lv = re.search(r"local\[(\d+)\] \(N\).*?local\[(\d+)\] \(4N\)", md, re.S)
+        if not m:
+            return {}
+        out = {"scaling_efficiency": float(m.group(1)),
+               "scaling_source": "BENCH/BASELINE.md (tools/bench_scaling.py)"}
+        if lv:
+            out["scaling_levels"] = f"local[{lv.group(1)}] vs local[{lv.group(2)}]"
+        return out
+    except OSError:
+        return {}
+
+
 # Final code commit of round 1 (the tree BENCH_r01 measured). The A/B
 # probe runs THAT engine on THIS round's materialized input in the same
 # bench session, so a throughput swing attributes to code vs host in the
@@ -454,6 +480,7 @@ def main() -> None:
         **skew_stats,
         **seq_stats,
         **ab_stats,
+        **read_scaling_evidence(),
     }
     print(json.dumps(out))
 
