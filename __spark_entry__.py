@@ -21,7 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from fs_schema_validator_spark.engine import ValidationEngine  # noqa: E402
 from fs_schema_validator_spark.functions import sketches  # noqa: E402
 from fs_schema_validator_spark.functions.arrays import first_mismatch_index  # noqa: E402
-from fs_schema_validator_spark.operators import dedup, similarity, textstats  # noqa: E402
+from fs_schema_validator_spark.operators import (  # noqa: E402
+    dedup,
+    selection,
+    similarity,
+    textstats,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1041,6 +1046,17 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.cross_table_overlap(docs, bench)
 
 
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection scores (selection.dsir_importance): every
+    corpus document scored by hashed-unigram log-likelihood ratio against
+    the target distribution — target = every 25th document (the same
+    benchmark set the decontamination queries use), 256 portable-hash
+    buckets, add-1 smoothing."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 25 == 0)
+    return selection.dsir_importance(docs, target, n_buckets=256, alpha=1.0)
+
+
 def contamination_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY decontamination (dedup.cross_table_lsh_pairs): corpus docs
     that are NEAR-dups of benchmark docs via cross-table portable-MinHash
@@ -1148,9 +1164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # distinct operator sits inside the first 50; the tail entries are
     # oracle-sibling / diagnostic variants of operators already gated
     # above (exact-Jaccard vs MinHash, brute cosine vs ANN, keep-first vs
-    # exact dedup, frame-sample vs resize plumbing, rolling dup-groups vs
-    # fingerprints, prefix vs exact groups). tools/oracle_parity.py still
-    # checks all of them locally.
+    # exact dedup, md5-fingerprint vs exact-dedup key, resize vs features
+    # codec-seam plumbing, rolling dup-groups vs fingerprints, prefix vs
+    # exact groups). tools/oracle_parity.py still checks all of them
+    # locally.
     return {
         "flagship_violations": flagship_violations,
         "sequences_validation": sequences_validation,
@@ -1168,7 +1185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "quality_scores": quality_scores,
         "lang_id_agreement": lang_id_agreement,
-        "doc_fingerprints": doc_fingerprints,
         "subword_token_counts": subword_token_counts,
         "rolling_fingerprints": rolling_fingerprints,
         "dedup_exact_groups": dedup_exact_groups,
@@ -1187,7 +1203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "bucketed_join_stats": bucketed_join_stats,
-        "multimodal_resize": multimodal_resize,
+        "semantic_dup_flags": semantic_dup_flags,
+        "dsir_importance_weights": dsir_importance_weights,
         "skew_salted_stats": skew_salted_stats,
         "asof_join_marks": asof_join_marks,
         "range_join_sizes": range_join_sizes,
@@ -1205,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: oracle-sibling / diagnostic variants (operators gated
         # above); may fall outside the driver's 50-entry window ---
         "rolling_dup_groups": rolling_dup_groups,
+        "doc_fingerprints": doc_fingerprints,
+        "multimodal_resize": multimodal_resize,
         "prefix_dup_groups": prefix_dup_groups,
         "jaccard_pairs": jaccard_pairs,
         "cosine_scores_all": cosine_scores_all,
@@ -1344,6 +1363,89 @@ s AS (SELECT vec_id, round(sum(a * b) /
              (sqrt(sum(a * a)) * sqrt(sum(b * b))), 5) AS cos
       FROM x GROUP BY vec_id)
 SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+# SemDeDup replay: same IVF-assignment CTEs as _ANN_IVF_ORACLE (seeds =
+# 16 smallest base ids; the planted copies' ids are all >= 100000 so the
+# seed set is unchanged), then uncapped within-cell ordered pairs, exact
+# cosine on round-5 doubles, keep-first dup flags. The guard on
+# len(embedding) = 64 mirrors ivf_assign_arrow's NULL cell for null /
+# wrong-dimension vectors (none at these SFs, but fixtures exercise it).
+_SEMANTIC_DUP_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 20 = 0
+),
+cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                embedding
+         FROM (SELECT * FROM embeddings
+               WHERE embedding IS NOT NULL AND len(embedding) = 64
+               ORDER BY vec_id LIMIT 16)),
+cn AS (SELECT cell, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+                             * CAST(embedding[i] AS DOUBLE))) AS nrm
+       FROM cent, generate_series(1, 64) g(i) GROUP BY cell),
+cdot AS (SELECT e.vec_id, c.cell,
+                sum(CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)) AS dot_vc
+         FROM corpus e CROSS JOIN cent c,
+              generate_series(1, 64) g(i)
+         WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
+         GROUP BY e.vec_id, c.cell),
+scored AS (SELECT vec_id, cdot.cell, dot_vc / nrm AS sim
+           FROM cdot JOIN cn USING (cell)),
+assign AS (SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cell ASC) AS rk
+             FROM scored) WHERE rk = 1),
+pv AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+       FROM assign a JOIN assign b
+       ON a.cell = b.cell AND a.vec_id < b.vec_id),
+px AS (SELECT pv.ia, pv.ib,
+              CAST(ea.embedding[i] AS DOUBLE) AS va,
+              CAST(eb.embedding[i] AS DOUBLE) AS vb
+       FROM pv JOIN corpus ea ON ea.vec_id = pv.ia
+               JOIN corpus eb ON eb.vec_id = pv.ib,
+            generate_series(1, 64) g(i)),
+ps AS (SELECT ia, ib, round(sum(va * vb) /
+             (sqrt(sum(va * va)) * sqrt(sum(vb * vb))), 5) AS cos
+       FROM px GROUP BY ia, ib),
+dup AS (SELECT DISTINCT ib AS vec_id FROM ps WHERE cos >= 0.6)
+SELECT c.vec_id, a.cell, (d.vec_id IS NOT NULL) AS is_dup
+FROM corpus c
+LEFT JOIN assign a ON c.vec_id = a.vec_id
+LEFT JOIN dup d ON c.vec_id = d.vec_id
+"""
+
+
+def _dsir_oracle(n_buckets: int = 256, modulus: int = 25) -> str:
+    """DSIR replay: portable 'dsir'-salted 60-bit word hash into
+    n_buckets, add-1-smoothed bucket log-likelihood-ratio weights from
+    the full-outer count merge, per-document weight sums rounded at 4
+    (the unigram_entropy precedent: every aggregated term is a function
+    of integer counts, so only fp addition order differs)."""
+    b = float(n_buckets)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+btok AS (SELECT doc_id, {_hex15("'dsir' || w")} % {n_buckets} AS b FROM tok),
+cb AS (SELECT b, count(*) AS c FROM btok GROUP BY b),
+tb AS (SELECT b, count(*) AS t FROM btok
+       WHERE doc_id % {modulus} = 0 GROUP BY b),
+m AS (SELECT coalesce(cb.b, tb.b) AS b, coalesce(c, 0) AS c,
+             coalesce(t, 0) AS t
+      FROM cb FULL OUTER JOIN tb ON cb.b = tb.b),
+tot AS (SELECT sum(c) AS c_tot, sum(t) AS t_tot FROM m),
+wts AS (SELECT b, ln((t + 1.0) / (t_tot + {b})) -
+                  ln((c + 1.0) / (c_tot + {b})) AS w
+        FROM m CROSS JOIN tot),
+per AS (SELECT doc_id, count(*) AS n, sum(w) AS s
+        FROM btok JOIN wts USING (b) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(per.n, 0) AS BIGINT) AS n_words,
+       coalesce(round(per.s, 4), 0.0) AS dsir_score
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
@@ -1804,6 +1906,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "ann_topk": _ann_topk_oracle(),
         "ann_topk_ivf": _ANN_IVF_ORACLE,
+        "semantic_dup_flags": _SEMANTIC_DUP_ORACLE,
+        "dsir_importance_weights": _dsir_oracle(),
         "bucketed_join_stats": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
             "round(sum(o_totalprice), 4) AS sum_price "
@@ -1963,4 +2067,24 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, probes=4
+    )
+
+
+def semantic_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (similarity.semantic_dedup): corpus =
+    embeddings plus an exact copy of every 20th vector under a shifted id
+    (planted dup clusters — the in-query derivation pattern
+    contamination_overlap uses); IVF cells from the 16 id-ordered seeds,
+    within-cell cosine >= 0.6 flags the copies keep-first (the base
+    vectors are random, max off-pair cosine ~0.51, so the margin is wide
+    on both sides of the threshold). max_bucket=None keeps the checked
+    pipeline algebraically identical to the uncapped oracle replay; the
+    capped default is the scale path."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    return similarity.semantic_dedup(
+        corpus, n_centroids=16, threshold=0.6, max_bucket=None
     )

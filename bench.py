@@ -66,6 +66,8 @@ HEADLINE = [
     "unigram_entropy",
     "pii_scrub_counts",
     "contamination_near_dup",
+    "semantic_dup_flags",
+    "dsir_importance_weights",
 ]
 
 # Timed and reported in `queries`, but EXCLUDED from the summed headline
@@ -76,6 +78,8 @@ VALUE_EXCLUDED = {
     "unigram_entropy",
     "pii_scrub_counts",
     "contamination_near_dup",
+    "semantic_dup_flags",
+    "dsir_importance_weights",
 }
 
 SEQ_RULES = r"""

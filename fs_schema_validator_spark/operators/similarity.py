@@ -494,6 +494,78 @@ def train_centroids_kmeans(
     return centroids
 
 
+def semantic_dedup(
+    df: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 5,
+    max_bucket: int | None = 512,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the IVF coarse quantizer,
+    compare pairs only WITHIN a cell, and flag every row whose cosine to a
+    smaller-id cell-mate reaches `threshold` (keep-first semantics, the
+    same convention as dedup.keep_first).
+
+    Returns one row per input row: (id, cell, is_dup). Rows whose vector
+    is null or the wrong dimension get a NULL cell and is_dup=false —
+    they never enter the pair expansion (embedding_dim_violations is the
+    operator that surfaces them).
+
+    Scale shape: one Arrow-matmul assignment pass (no shuffle), ONE
+    shuffle on the cell id for the pair expansion (bucket_pairs' hot-cell
+    cap bounds a degenerate cell — a giant cluster of near-identical
+    vectors — to O(N·m) star pairs instead of O(m²)), then an exact-cosine
+    verify that touches only candidate participants via broadcast
+    semi-joins. n_centroids grows with the corpus so cells stay bounded;
+    at 10^12 rows the quantizer comes from train_centroids_kmeans instead
+    of the id-ordered seed sample (identical downstream plan)."""
+    from ..functions.arrays import ivf_assign_arrow
+    from ..functions.cache import track
+    from .dedup import bucket_pairs
+
+    centroids = _collect_seed_matrix(df, n_centroids, vec_col, id_col)
+    assigned = track(ivf_assign_arrow(df, centroids, vec_col, id_col).cache())
+    cand = bucket_pairs(
+        assigned.filter(F.col("cell").isNotNull()),
+        ["cell"],
+        id_col,
+        "id_a",
+        "id_b",
+        max_bucket,
+    )
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    participants = df.join(F.broadcast(ids), id_col, "left_semi")
+    left = participants.select(F.col(id_col).alias("id_a"), v.alias("va"))
+    right = participants.select(F.col(id_col).alias("id_b"), v.alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    dup_ids = (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .select("id_b", F.round(cos, digits).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    flagged = assigned.join(
+        F.broadcast(dup_ids.withColumn("_dup", F.lit(True))), id_col, "left"
+    )
+    return flagged.select(
+        id_col,
+        "cell",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
 def ivf_topk_kmeans(
     df: DataFrame,
     query: list[float],

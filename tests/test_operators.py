@@ -1217,3 +1217,171 @@ def test_cross_table_lsh_catches_edited_benchmark_leak(spark):
         for r in textstats.cross_table_overlap(corpus, bench).collect()
     }
     assert (50, 903) not in exact      # the case exact fingerprints miss
+
+
+def _vec(i: int, dim: int = 64) -> list:
+    import random
+
+    rng = random.Random(7000 + i)
+    return [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+
+
+def test_semantic_dedup_flags_planted_copies(spark):
+    """SemDeDup keep-first semantics: an exact copy under a larger id is
+    flagged, the original is not; random non-dup rows are not flagged;
+    null and wrong-dimension vectors get a NULL cell and never pair."""
+    rows = [(i, _vec(i)) for i in range(40)]
+    rows += [(1000 + i, _vec(i)) for i in range(3)]     # exact copies
+    rows += [(2000, None), (2001, [1.0, 2.0, 3.0])]     # degenerate rows
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            emb, n_centroids=4, threshold=0.95, max_bucket=None
+        ).collect()
+    }
+    assert len(out) == 45
+    for i in range(3):
+        assert out[1000 + i].is_dup
+        assert not out[i].is_dup
+        assert out[1000 + i].cell == out[i].cell  # identical vec, same cell
+    assert sum(r.is_dup for r in out.values()) == 3
+    for bad in (2000, 2001):
+        assert out[bad].cell is None and not out[bad].is_dup
+
+
+def test_semantic_dedup_cap_star_pairs_still_flag_tail(spark):
+    """With a hot cell larger than max_bucket, the star tail (keeper =
+    min id) must still flag every exact-copy member: the keeper-member
+    cosine is 1.0, so capping trades pair scores, not dup recall."""
+    base = _vec(0)
+    rows = [(i, base) for i in range(20)]            # one 20-member clique
+    rows += [(100 + i, _vec(50 + i)) for i in range(10)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    out = {
+        r.vec_id: r.is_dup
+        for r in similarity.semantic_dedup(
+            emb, n_centroids=2, threshold=0.95, max_bucket=4
+        ).collect()
+    }
+    assert not out[0]                                # keeper survives
+    assert all(out[i] for i in range(1, 20))         # every copy flagged
+    assert not any(out[100 + i] for i in range(10))
+
+
+def test_semantic_dedup_oracle_agrees_on_null_and_wrong_dim(spark, tmp_path):
+    """Cross-engine: the REAL driver query vs the REAL oracle SQL on a
+    fixture with null and wrong-dimension vectors (one of them at a
+    vec_id the query's planted-copy derivation picks up, so the copy of
+    a null row is exercised too)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    rows = [(i, _vec(i)) for i in range(36)]
+    rows += [(40, None), (41, [0.5] * 3)]   # 40 % 20 == 0: planted-null copy
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    sf_dir = str(tmp_path)
+    emb.coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    got = {
+        (r.vec_id, r.cell, r.is_dup)
+        for r in entrymod.queries()["semantic_dup_flags"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.sql(
+            entrymod.oracle_sql()["semantic_dup_flags"]
+        ).fetchall()
+    }
+    assert got == want
+    by_id = {v: (c, d) for v, c, d in got}
+    assert by_id[100000] == (by_id[0][0], True)   # planted copy flagged
+    assert by_id[40] == (None, False)             # null vec: no cell
+    assert by_id[100040] == (None, False)         # copy of the null vec
+    assert by_id[41] == (None, False)             # wrong-dim vec
+
+
+def test_dsir_scores_target_lookalikes_higher(spark):
+    """DSIR importance: corpus docs made of target-domain words must
+    outscore corpus docs from the off-domain vocabulary; null/empty
+    docs score 0.0 with n_words = 0."""
+    from fs_schema_validator_spark.operators import selection
+
+    a_words = "alpha bravo charlie delta echo"
+    b_words = "uniform victor whiskey xray yankee"
+    corpus = spark.createDataFrame(
+        [
+            (1, a_words), (2, a_words + " foxtrot"),
+            (3, b_words), (4, b_words + " zulu"),
+            (5, None), (6, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, b_words), (101, b_words)], "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in selection.dsir_importance(
+            corpus, target, n_buckets=64
+        ).collect()
+    }
+    assert len(out) == 6
+    assert min(out[3].dsir_score, out[4].dsir_score) > max(
+        out[1].dsir_score, out[2].dsir_score
+    )
+    for null_doc in (5, 6):
+        assert out[null_doc].n_words == 0
+        assert out[null_doc].dsir_score == 0.0
+    assert out[1].n_words == 5 and out[2].n_words == 6
+
+
+def test_dsir_oracle_agrees_on_null_and_empty_text(spark, tmp_path):
+    """Cross-engine: REAL driver query vs REAL oracle SQL on a fixture
+    with null and empty documents, including a null doc inside the
+    target set (doc_id % 25 == 0)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    rows = [(i, _doc(i)) for i in range(30)]
+    rows += [(100, None), (102, ""), (103, "   ")]  # 100 % 25 == 0
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r.doc_id, r.n_words, r.dsir_score)
+        for r in entrymod.queries()["dsir_importance_weights"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.sql(
+            entrymod.oracle_sql()["dsir_importance_weights"]
+        ).fetchall()
+    }
+    assert got == want
+    by_id = {d: (n, s) for d, n, s in got}
+    for deg in (100, 102, 103):
+        assert by_id[deg] == (0, 0.0)

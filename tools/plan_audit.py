@@ -321,6 +321,29 @@ def main() -> None:
         )
     )
 
+    # SemDeDup: one Arrow-matmul assignment pass, one cell-keyed groupBy
+    # for the pair expansion, broadcast semi-joins for the verify — the
+    # candidate pipeline never self-joins the corpus
+    sections.append(
+        audit(
+            "semantic_dup_flags (IVF cells + within-cell verify)",
+            qs["semantic_dup_flags"](spark, SF_DIR),
+            {"has_broadcast": True, "plan_contains": "MapInArrow",
+             "plan_excludes": "CartesianProduct"},
+        )
+    )
+    # DSIR: two bucket-count aggregations (map-side partials over a
+    # 256-bucket key space), broadcast weight join, one per-doc agg —
+    # pure codegen, no UDF, no sort-merge join
+    sections.append(
+        audit(
+            "dsir_importance_weights (hashed-unigram LLR, broadcast weights)",
+            qs["dsir_importance_weights"](spark, SF_DIR),
+            {"has_broadcast": True, "schema_excludes": "lang",
+             "plan_excludes": "SortMergeJoin"},
+        )
+    )
+
     md = ["# PLANS — physical-plan audit\n",
           "Generated by `tools/plan_audit.py` at sf0.01 / n=1000 synth.",
           "Expectations are asserted; FAIL lines are plan regressions.\n"]
