@@ -1367,22 +1367,26 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10
 
 
 # SemDeDup replay: same IVF-assignment CTEs as _ANN_IVF_ORACLE (seeds =
-# 16 smallest base ids; the planted copies' ids are all >= 100000 so the
-# seed set is unchanged), then uncapped within-cell ordered pairs, exact
-# cosine on round-5 doubles, keep-first dup flags. The guard on
-# len(embedding) = 64 mirrors ivf_assign_arrow's NULL cell for null /
-# wrong-dimension vectors (none at these SFs, but fixtures exercise it).
+# 16 smallest base ids; the planted copies' ids are negative so the
+# non-negative seed window is unchanged at any scale), then uncapped
+# within-cell ordered pairs, exact cosine on round-5 doubles, keep-first
+# dup flags. The len(embedding) = 64 guard mirrors ivf_assign_arrow's
+# NULL cell for null / wrong-dimension vectors (none at these SFs, but
+# fixtures exercise it); fixtures must keep 64 the modal dimension of
+# the 32 smallest ids, or the engine's modal-length seed cleanup and
+# this fixed-width window would pick different seeds.
 _SEMANTIC_DUP_ORACLE = """
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  SELECT -vec_id - 1 AS vec_id, embedding FROM embeddings
   WHERE vec_id % 20 = 0
 ),
 cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                 embedding
          FROM (SELECT * FROM embeddings
                WHERE embedding IS NOT NULL AND len(embedding) = 64
+                 AND vec_id IS NOT NULL
                ORDER BY vec_id LIMIT 16)),
 cn AS (SELECT cell, sqrt(sum(CAST(embedding[i] AS DOUBLE)
                              * CAST(embedding[i] AS DOUBLE))) AS nrm
@@ -1424,9 +1428,10 @@ LEFT JOIN dup d ON c.vec_id = d.vec_id
 def _dsir_oracle(n_buckets: int = 256, modulus: int = 25) -> str:
     """DSIR replay: portable 'dsir'-salted 60-bit word hash into
     n_buckets, add-1-smoothed bucket log-likelihood-ratio weights from
-    the full-outer count merge, per-document weight sums rounded at 4
-    (the unigram_entropy precedent: every aggregated term is a function
-    of integer counts, so only fp addition order differs)."""
+    the count merge, per-document k·w sums over the same per-(doc,
+    bucket) count table the engine aggregates, rounded at 4 (the
+    unigram_entropy precedent: every aggregated term is a function of
+    integer counts, so only fp addition order differs)."""
     b = float(n_buckets)
     return f"""
 WITH tok AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
@@ -1441,8 +1446,9 @@ tot AS (SELECT sum(c) AS c_tot, sum(t) AS t_tot FROM m),
 wts AS (SELECT b, ln((t + 1.0) / (t_tot + {b})) -
                   ln((c + 1.0) / (c_tot + {b})) AS w
         FROM m CROSS JOIN tot),
-per AS (SELECT doc_id, count(*) AS n, sum(w) AS s
-        FROM btok JOIN wts USING (b) GROUP BY doc_id)
+pdc AS (SELECT doc_id, b, count(*) AS k FROM btok GROUP BY doc_id, b),
+per AS (SELECT doc_id, sum(k) AS n, sum(k * w) AS s
+        FROM pdc JOIN wts USING (b) GROUP BY doc_id)
 SELECT d.doc_id, CAST(coalesce(per.n, 0) AS BIGINT) AS n_words,
        coalesce(round(per.s, 4), 0.0) AS dsir_score
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
@@ -2072,19 +2078,27 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semantic_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (similarity.semantic_dedup): corpus =
-    embeddings plus an exact copy of every 20th vector under a shifted id
-    (planted dup clusters — the in-query derivation pattern
-    contamination_overlap uses); IVF cells from the 16 id-ordered seeds,
-    within-cell cosine >= 0.6 flags the copies keep-first (the base
+    embeddings plus an exact copy of every 20th vector under id
+    `-vec_id - 1` (planted dup clusters — the in-query derivation
+    pattern contamination_overlap uses; negative ids can NEVER collide
+    with base ids at any scale, unlike an additive offset). IVF cells
+    from the 16 id-ordered seeds, within-cell cosine >= 0.6 under
+    keep-first-by-id — the negative copy is the keeper, so the flagged
+    set is exactly the originals that have a planted twin (the base
     vectors are random, max off-pair cosine ~0.51, so the margin is wide
-    on both sides of the threshold). max_bucket=None keeps the checked
-    pipeline algebraically identical to the uncapped oracle replay; the
-    capped default is the scale path."""
+    on both sides of the threshold). The default kernel strategy has no
+    pair cap, so the checked pipeline is algebraically identical to the
+    uncapped oracle replay."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        (-F.col("vec_id") - 1).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(planted)
+    # quantizer seeded from the BASE table (the oracle's cent CTE does
+    # the same) — seeding from the corpus would put the negative planted
+    # ids first in the id-ordered sample
     return similarity.semantic_dedup(
-        corpus, n_centroids=16, threshold=0.6, max_bucket=None
+        corpus,
+        threshold=0.6,
+        centroids=similarity.seed_centroids(emb, 16),
     )

@@ -10,9 +10,10 @@ High-scoring documents look like the target domain; selection is a filter
 or weighted sample on the score.
 
 Everything is pure Spark SQL expressions over one explode (whole-stage
-codegen, no UDF): two bucket-count aggregations (map-side partials — the
-shuffle carries at most `n_buckets` rows per partition), a broadcast join
-of the tiny weight table, and one per-document sum. The bucket hash is the
+codegen, no UDF). The corpus is tokenized and hashed ONCE into a cached
+per-(doc, bucket) count table; the global bucket counts, the broadcast
+weight join, and the per-document score all derive from that table, so no
+branch re-executes the explode + md5 lineage. The bucket hash is the
 engine-portable md5-prefix (sampling.split_bucket), so the driver's DuckDB
 oracle replays the exact scores.
 """
@@ -26,19 +27,25 @@ from .sampling import split_bucket
 from .textstats import words
 
 
-def _bucketed_tokens(
+def _doc_bucket_counts(
     df: DataFrame, text_col: str, id_col: str, n_buckets: int, salt: str
 ) -> DataFrame:
-    """(id, bucket) one row per token; docs with null/empty text emit one
-    NULL-bucket row (explode_outer) so per-doc aggregation keeps them."""
+    """(id, bucket, k) token counts per document and hash bucket; docs
+    with null/empty text keep one (id, NULL, 1) sentinel row
+    (explode_outer + null-propagating hash) so per-doc aggregation never
+    loses them. The explode's shuffle is immediately collapsed by the
+    map-side partial aggregation — at most n_buckets+1 rows per document
+    survive per partition."""
     w = F.explode_outer(words(F.lower(F.col(text_col)))).alias("_w")
     toks = df.select(F.col(id_col), w)
-    return toks.select(
-        id_col,
-        F.when(
-            F.col("_w").isNotNull(),
-            split_bucket(F.col("_w"), n_buckets, salt=salt),
-        ).alias("bucket"),
+    # split_bucket propagates NULL words to a NULL bucket (md5(concat(
+    # salt, NULL)) is NULL), which is exactly the sentinel we need
+    return (
+        toks.select(
+            id_col, split_bucket(F.col("_w"), n_buckets, salt=salt).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
     )
 
 
@@ -52,29 +59,42 @@ def dsir_importance(
     salt: str = "dsir",
     digits: int = 4,
 ) -> DataFrame:
-    """(id, n_words, dsir_score) for every corpus row.
+    """(id, n_words, dsir_score) — one row per distinct corpus id.
+    Corpus ids are expected unique and non-null (the documents-table
+    contract the dedup and profiling operators share); duplicate ids
+    would merge into one summed row, null ids into one null-keyed row.
 
     score(d) = Σ_tokens [ ln((T_b + α)/(T + α·B)) − ln((C_b + α)/(C + α·B)) ]
 
     with T_b/C_b the target/corpus counts of the token's hash bucket,
     T/C the total token counts, B = n_buckets, α the add-α smoothing that
     keeps buckets unseen in the target finite. Null/empty documents score
-    0.0 with n_words = 0. The weight table is exactly B rows (buckets
-    absent from BOTH sides cannot occur in the join), built from one
-    full-outer merge of the two count aggregations and broadcast to the
-    corpus token stream."""
-    ct = _bucketed_tokens(corpus, text_col, id_col, n_buckets, salt)
-    tt = _bucketed_tokens(target, text_col, id_col, n_buckets, salt)
-    # The two count tables merge by UNION + one aggregation rather than a
-    # full-outer join: full outer cannot broadcast in Spark, so even a
-    # 256-row merge would plan a sort-merge join; the union shape is one
-    # partial-agg shuffle over at most 2·B tagged rows per partition.
-    tagged = ct.filter(F.col("bucket").isNotNull()).select(
-        "bucket", F.lit(1).alias("c"), F.lit(0).alias("t")
+    0.0 with n_words = 0. The weight table is at most B rows, built from
+    a union-aggregate merge of the two count tables (a full-outer join
+    cannot broadcast and would plan a sort-merge join) and broadcast to
+    the per-document counts. The cached per-(doc, bucket) table is
+    tracked — release with functions.cache.release_all() after the
+    action, like the dedup operators."""
+    from ..functions.cache import track
+
+    pdc = track(
+        _doc_bucket_counts(corpus, text_col, id_col, n_buckets, salt).cache()
+    )
+    cb = (
+        pdc.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.sum("k").alias("c"))
+    )
+    tb = (
+        _doc_bucket_counts(target, text_col, id_col, n_buckets, salt)
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.sum("k").alias("t"))
+    )
+    tagged = cb.select(
+        "bucket", F.col("c"), F.lit(0).cast("bigint").alias("t")
     ).unionByName(
-        tt.filter(F.col("bucket").isNotNull()).select(
-            "bucket", F.lit(0).alias("c"), F.lit(1).alias("t")
-        )
+        tb.select("bucket", F.lit(0).cast("bigint").alias("c"), F.col("t"))
     )
     merged = tagged.groupBy("bucket").agg(
         F.sum("c").alias("c"), F.sum("t").alias("t")
@@ -92,14 +112,16 @@ def dsir_importance(
             - F.log((F.col("c") + alpha) / (F.col("c_tot") + alpha * b))
         ).alias("w"),
     )
-    scored = ct.join(F.broadcast(weights), "bucket", "left")
+    scored = pdc.join(F.broadcast(weights), "bucket", "left")
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.col("bucket")).alias("n_words"),
-        F.sum(F.when(F.col("bucket").isNotNull(), F.col("w"))).alias("_s"),
+        F.sum(F.when(F.col("bucket").isNotNull(), F.col("k"))).alias("_n"),
+        F.sum(
+            F.when(F.col("bucket").isNotNull(), F.col("k") * F.col("w"))
+        ).alias("_s"),
     )
     return per_doc.select(
         id_col,
-        F.col("n_words").cast("bigint").alias("n_words"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_words"),
         F.coalesce(F.round(F.col("_s"), digits), F.lit(0.0)).alias(
             "dsir_score"
         ),

@@ -1226,36 +1226,66 @@ def _vec(i: int, dim: int = 64) -> list:
     return [rng.uniform(-1.0, 1.0) for _ in range(dim)]
 
 
-def test_semantic_dedup_flags_planted_copies(spark):
-    """SemDeDup keep-first semantics: an exact copy under a larger id is
-    flagged, the original is not; random non-dup rows are not flagged;
-    null and wrong-dimension vectors get a NULL cell and never pair."""
+@pytest.mark.parametrize("strategy", ["kernel", "pairs"])
+def test_semantic_dedup_flags_planted_copies(spark, strategy):
+    """SemDeDup keep-first semantics under BOTH strategies: an exact
+    copy under a larger id is flagged, the original is not; random
+    non-dup rows are not flagged; null-vector, wrong-dimension, and
+    null-id rows get a NULL cell and never pair."""
     rows = [(i, _vec(i)) for i in range(40)]
     rows += [(1000 + i, _vec(i)) for i in range(3)]     # exact copies
     rows += [(2000, None), (2001, [1.0, 2.0, 3.0])]     # degenerate rows
+    rows += [(None, _vec(5))]                           # null id, valid vec
     emb = spark.createDataFrame(
         rows, "vec_id bigint, embedding array<double>"
     )
     out = {
         r.vec_id: r
         for r in similarity.semantic_dedup(
-            emb, n_centroids=4, threshold=0.95, max_bucket=None
+            emb, n_centroids=4, threshold=0.95, max_bucket=None,
+            strategy=strategy,
         ).collect()
     }
-    assert len(out) == 45
+    assert len(out) == 46
     for i in range(3):
         assert out[1000 + i].is_dup
         assert not out[i].is_dup
         assert out[1000 + i].cell == out[i].cell  # identical vec, same cell
-    assert sum(r.is_dup for r in out.values()) == 3
-    for bad in (2000, 2001):
+    assert sum(bool(r.is_dup) for r in out.values()) == 3
+    for bad in (2000, 2001, None):
         assert out[bad].cell is None and not out[bad].is_dup
+    # the null-id copy of vec 5 must NOT flag vec 5 (it never pairs)
+    assert not out[5].is_dup
+
+
+def test_semantic_dedup_strategies_agree(spark):
+    """Differential: the kernel (BLAS block) and pairs (bucket_pairs +
+    expression cosine) strategies flag the identical set on a mixed
+    fixture with planted copies across multiple cells."""
+    rows = [(i, _vec(i)) for i in range(60)]
+    rows += [(500 + i, _vec(i * 7)) for i in range(6)]  # copies, scattered
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    runs = {
+        s: sorted(
+            (r.vec_id, r.cell, r.is_dup)
+            for r in similarity.semantic_dedup(
+                emb, n_centroids=8, threshold=0.9, max_bucket=None,
+                strategy=s,
+            ).collect()
+        )
+        for s in ("kernel", "pairs")
+    }
+    assert runs["kernel"] == runs["pairs"]
+    assert sum(d for _, _, d in runs["kernel"]) == 6
 
 
 def test_semantic_dedup_cap_star_pairs_still_flag_tail(spark):
-    """With a hot cell larger than max_bucket, the star tail (keeper =
-    min id) must still flag every exact-copy member: the keeper-member
-    cosine is 1.0, so capping trades pair scores, not dup recall."""
+    """Pairs strategy with a hot cell larger than max_bucket: the star
+    tail (keeper = min id) must still flag every exact-copy member —
+    the keeper-member cosine is 1.0, so capping trades pair scores, not
+    dup recall. (The kernel strategy has no cap; it is blockwise.)"""
     base = _vec(0)
     rows = [(i, base) for i in range(20)]            # one 20-member clique
     rows += [(100 + i, _vec(50 + i)) for i in range(10)]
@@ -1265,12 +1295,43 @@ def test_semantic_dedup_cap_star_pairs_still_flag_tail(spark):
     out = {
         r.vec_id: r.is_dup
         for r in similarity.semantic_dedup(
-            emb, n_centroids=2, threshold=0.95, max_bucket=4
+            emb, n_centroids=2, threshold=0.95, max_bucket=4,
+            strategy="pairs",
         ).collect()
     }
     assert not out[0]                                # keeper survives
     assert all(out[i] for i in range(1, 20))         # every copy flagged
     assert not any(out[100 + i] for i in range(10))
+
+
+def test_semantic_dedup_kernel_blockwise_matches_small_blocks(spark):
+    """The kernel's block loop must not change flags across block sizes
+    (a 20-member exact clique spans several 4-row blocks, exercising the
+    earlier-blocks comparison path)."""
+    base = _vec(0)
+    rows = [(i, base) for i in range(20)]
+    rows += [(100 + i, _vec(50 + i)) for i in range(5)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    from fs_schema_validator_spark.operators.similarity import (
+        _cell_dedup_kernel,
+        _collect_seed_matrix,
+    )
+    from fs_schema_validator_spark.functions.arrays import ivf_assign_arrow
+
+    cents = _collect_seed_matrix(emb, 2, "embedding", "vec_id")
+    eligible = ivf_assign_arrow(emb, cents).filter(F.col("cell").isNotNull())
+    flags = {}
+    for blk in (4, 256):
+        flags[blk] = sorted(
+            (r.vec_id, r.is_dup)
+            for r in _cell_dedup_kernel(
+                emb, eligible, 0.95, "embedding", "vec_id", 5, block=blk
+            ).collect()
+        )
+    assert flags[4] == flags[256]
+    assert sum(d for _, d in flags[4]) == 19
 
 
 def test_semantic_dedup_oracle_agrees_on_null_and_wrong_dim(spark, tmp_path):
@@ -1284,6 +1345,7 @@ def test_semantic_dedup_oracle_agrees_on_null_and_wrong_dim(spark, tmp_path):
 
     rows = [(i, _vec(i)) for i in range(36)]
     rows += [(40, None), (41, [0.5] * 3)]   # 40 % 20 == 0: planted-null copy
+    rows += [(None, _vec(3))]               # null id, valid vector
     emb = spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>"
     )
@@ -1309,10 +1371,16 @@ def test_semantic_dedup_oracle_agrees_on_null_and_wrong_dim(spark, tmp_path):
     }
     assert got == want
     by_id = {v: (c, d) for v, c, d in got}
-    assert by_id[100000] == (by_id[0][0], True)   # planted copy flagged
+    # keep-first with the negative planted ids: the COPY (smaller id) is
+    # the keeper, the original gets flagged
+    assert by_id[0] == (by_id[-1][0], True)
+    assert not by_id[-1][1]
     assert by_id[40] == (None, False)             # null vec: no cell
-    assert by_id[100040] == (None, False)         # copy of the null vec
+    assert by_id[-41] == (None, False)            # copy of the null vec
     assert by_id[41] == (None, False)             # wrong-dim vec
+    assert by_id[None] == (None, False)           # null id: masked cell
+    # the null-id duplicate of vec 3 must not flag vec 3
+    assert not by_id[3][1]
 
 
 def test_dsir_scores_target_lookalikes_higher(spark):
