@@ -1153,6 +1153,103 @@ def pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract
 
 
+_NGRAM_N = 400
+_NGRAM_K = 8
+
+
+def token_ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level exact k-gram dedup (dedup.token_ngram_dup_stats) over
+    the north-rule sequences table (doc_id, tokens array<int>, n_tok,
+    source): corpus = 400 generated docs + every 20th doc re-planted
+    under a 'dup-' id (its windows are guaranteed cross-doc dups) + two
+    degenerate rows (null tokens; 3 < k tokens) exercising the
+    zero-window path. The generator's arithmetic token streams also
+    collide naturally across docs of the same source, so rates between 0
+    and 1 occur. The oracle replays the generator AND the polynomial
+    window hash closed-form in SQL — engine and oracle agree bit-exactly
+    even where 31-bit hashes collide, because they compute the same
+    hash."""
+    from fs_schema_validator_spark.operators import dedup
+    from fs_schema_validator_spark.sources import synth
+
+    base = synth.gen_sequences(spark, _NGRAM_N)
+    i = F.regexp_extract("doc_id", r"doc-(\d+)", 1).cast("long")
+    planted = base.filter(i % 20 == 0).select(
+        F.format_string("dup-%08d", i).alias("doc_id"),
+        "tokens",
+        "n_tok",
+        "source",
+    )
+    deg = spark.sql(
+        "SELECT 'deg-null' AS doc_id, CAST(NULL AS array<int>) AS tokens, "
+        "CAST(0 AS int) AS n_tok, 'cc' AS source "
+        "UNION ALL SELECT 'deg-short', CAST(array(1, 2, 3) AS array<int>), "
+        "CAST(3 AS int), 'cc'"
+    )
+    corpus = base.unionByName(planted).unionByName(deg)
+    return dedup.token_ngram_dup_stats(corpus, k=_NGRAM_K)
+
+
+def _token_ngram_oracle(
+    n: int = _NGRAM_N,
+    k: int = _NGRAM_K,
+    base: int = 1000003,
+    mod: int = 2147483647,
+    seed: int = 7,
+) -> str:
+    """DuckDB replay of token_ngram_dup_stats: the generator's tokens are
+    (i*31 + j*7) % vocab(source), so each k-window hash has the closed
+    form seed*base^k + sum_t tok(j0+t)*base^(k-1-t) (mod m) — spelled out
+    per term with precomputed powers (each term < 2^47, the 8-term sum
+    < 2^50: BIGINT-safe; all tokens are non-negative so DuckDB's
+    truncating %% equals the kernel's floor-mod)."""
+    powers = [pow(base, k - 1 - t, mod) for t in range(k)]
+    seed_pk = seed * pow(base, k, mod) % mod
+    terms = " + ".join(
+        f"((i*31 + (j0+{t})*7) % vocab) * {powers[t]}" for t in range(k)
+    )
+    return f"""
+WITH base AS (
+  SELECT i, printf('doc-%08d', i) AS doc_id,
+         CAST(1 + (i % 512) AS INT) AS n_tok,
+         CASE i % 4 WHEN 0 THEN 'cc' WHEN 1 THEN 'wiki'
+                    WHEN 2 THEN 'code' ELSE 'books' END AS source
+  FROM range(0, {n}) t(i)
+), v AS (
+  SELECT *, CASE source WHEN 'cc' THEN 50304 WHEN 'wiki' THEN 32000
+                        WHEN 'code' THEN 65536 ELSE 32000 END AS vocab
+  FROM base
+), corpus AS (
+  SELECT doc_id, i, n_tok, vocab FROM v
+  UNION ALL
+  SELECT printf('dup-%08d', i), i, n_tok, vocab FROM v WHERE i % 20 = 0
+), wins AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, n_tok - {k - 1}),
+                j0 -> ({seed_pk} + {terms}) % {mod})) AS h
+  FROM corpus WHERE n_tok >= {k}
+), pdc AS (
+  SELECT doc_id, h, count(*) AS k_cnt FROM wins GROUP BY doc_id, h
+), gc AS (
+  SELECT h, count(*) AS n_docs FROM pdc GROUP BY h
+), per AS (
+  SELECT doc_id, sum(k_cnt) AS nw,
+         sum(CASE WHEN n_docs >= 2 THEN k_cnt ELSE 0 END) AS nd
+  FROM pdc JOIN gc USING (h) GROUP BY doc_id
+), ids AS (
+  SELECT doc_id FROM corpus
+  UNION ALL SELECT 'deg-null' UNION ALL SELECT 'deg-short'
+)
+SELECT ids.doc_id,
+       CAST(coalesce(nw, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_windows,
+       CASE WHEN coalesce(nw, 0) > 0
+            THEN round(coalesce(nd, 0) * 1.0 / nw, 4)
+            ELSE 0.0 END AS dup_rate
+FROM ids LEFT JOIN per USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_violations(spark, "/root/testdata/sf0.001")
@@ -1188,7 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subword_token_counts": subword_token_counts,
         "rolling_fingerprints": rolling_fingerprints,
         "dedup_exact_groups": dedup_exact_groups,
-        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "token_ngram_dup_stats": token_ngram_dup_stats,
         "simhash_sigs": simhash_sigs,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
@@ -1221,6 +1318,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_ids": stratified_sample_ids,
         # --- tail: oracle-sibling / diagnostic variants (operators gated
         # above); may fall outside the driver's 50-entry window ---
+        # (minhash_lsh_pairs is the banding-stage diagnostic of the
+        # MinHash operator gated end-to-end via minhash_dedup_verified)
+        "minhash_lsh_pairs": minhash_lsh_pairs,
         "rolling_dup_groups": rolling_dup_groups,
         "doc_fingerprints": doc_fingerprints,
         "multimodal_resize": multimodal_resize,
@@ -1760,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
             "string_agg(reason, ' | ' ORDER BY rule_seq) AS reasons_str "
             "FROM v GROUP BY subject"
         ),
+        "token_ngram_dup_stats": _token_ngram_oracle(),
         "stats_threshold_violations": (
             "SELECT CAST(l_returnflag AS VARCHAR) AS subject, "
             "'qty_mean_bound' AS rule_id, "

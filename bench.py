@@ -412,6 +412,41 @@ def bench_skewed_dedup(spark, base: Path) -> dict:
     }
 
 
+def bench_token_ngram(spark, seq_path: str) -> dict:
+    """Token-level exact k-gram dedup throughput
+    (dedup.token_ngram_dup_stats) over a deterministic half of the bench
+    corpus — hash-picked so with_duplicates' duplicate doc_id ROWS land
+    on the same side and keep flagging each other. One Arrow
+    window-hash + pair-count pass feeds a count-per-hash aggregation and
+    the flag join; windows/sec is the tokens-axis dedup capability
+    number. Reported as its own ngram_* fields only (same policy as
+    skew_*: folding a new workload into `value` would read as a
+    regression against prior rounds)."""
+    from fs_schema_validator_spark.operators import dedup as dedup_ops
+
+    seq = spark.read.parquet(seq_path).filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+    )
+    t0 = time.time()
+    agg = (
+        dedup_ops.token_ngram_dup_stats(seq, k=8)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_windows").alias("nw"),
+            F.sum("n_dup_windows").alias("nd"),
+        )
+        .first()
+    )
+    elapsed = round(time.time() - t0, 3)
+    return {
+        "ngram_dedup_sec": elapsed,
+        "ngram_docs": int(agg["docs"]),
+        "ngram_windows": int(agg["nw"]),
+        "ngram_dup_windows": int(agg["nd"]),
+        "ngram_windows_per_sec": round(agg["nw"] / elapsed, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -462,11 +497,14 @@ def main() -> None:
     spark.catalog.clearCache()
     seq_stats = bench_sequences(spark, sf_dir)
 
-    # interleaved A/B: round-1 engine, same input, same session window
-    # (parent JVM idle while the probe's subprocess runs)
     seq_path, ref_path = _materialize_sequences(
         spark, _seq_rows_for(sf_dir), base
     )
+    spark.catalog.clearCache()
+    ngram_stats = bench_token_ngram(spark, seq_path)
+
+    # interleaved A/B: round-1 engine, same input, same session window
+    # (parent JVM idle while the probe's subprocess runs)
     ab_stats = bench_ab_r1(sf_dir, cpus, seq_path, ref_path)
 
     total = round(
@@ -483,6 +521,7 @@ def main() -> None:
         "cpus": cpus,
         **skew_stats,
         **seq_stats,
+        **ngram_stats,
         **ab_stats,
         **read_scaling_evidence(),
     }

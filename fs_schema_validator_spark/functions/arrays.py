@@ -453,6 +453,180 @@ def rolling_hashes_arrow(
     return src.mapInArrow(compute, out_schema)
 
 
+def token_window_hash_kernel(
+    tokens: pa.Array,
+    k: int,
+    base: int = 1000003,
+    mod: int = 2147483647,
+    seed: int = 7,
+) -> pa.ListArray:
+    """All k-token polynomial window hashes per row of a list<int> column.
+
+    win[i][j] = (seed*base^k + sum_t tok[i][j+t] * base^(k-1-t)) % mod —
+    the Rabin-Karp k-gram fingerprint over TOKEN values (the text-side
+    sibling is rolling_hash_kernel's min_kgram, which keeps only the
+    minimum; token-level dedup needs every window so coverage can be
+    attributed back to positions).
+
+    One vectorized pass, no per-window refold: k shifted products over the
+    flat token buffer (the same closed form rolling_hash_kernel uses).
+    Negative tokens take Python/NumPy floor-mod semantics — an SQL replay
+    must spell ((t % m) + m) % m if its %% truncates (DuckDB does).
+
+    Per-row degradation, never batch corruption: a null list -> null
+    output row; a list shorter than k -> empty list; a list CONTAINING
+    null tokens -> null output row (the value is undefined — those rows
+    are a validation finding, surfaced by the F3-family rules, not a
+    hashable sequence)."""
+    starts, lengths, values, validity = _list_views(tokens)
+    n = len(starts)
+    m = np.uint64(mod)
+    rowok = validity.copy()
+    if n and values.dtype.kind == "f":
+        # child nulls decoded as NaN (see _list_views): invalidate rows
+        # whose span contains any NaN, then hash the rest from zeros
+        nanmask = np.isnan(values)
+        if nanmask.any() and lengths.sum():
+            row_of_all = np.repeat(np.arange(n), lengths)
+            bad = np.zeros(n, dtype=bool)
+            np.logical_or.at(bad, row_of_all[nanmask[: len(row_of_all)]], True)
+            rowok &= ~bad
+        values = np.nan_to_num(values)
+    # floor-mod in int64 first: int32 -1 reinterpreted as uint64 would be
+    # 2^64-1, and numpy's % on signed ints already floors like Python
+    flat = (values.astype(np.int64) % np.int64(mod)).astype(np.uint64)
+
+    P = np.empty(k + 1, dtype=np.uint64)
+    P[0] = 1
+    b64 = np.uint64(base % mod)
+    for j in range(1, k + 1):
+        P[j] = P[j - 1] * b64 % m
+    seed64 = np.uint64(seed % mod)
+
+    n_wins = np.where(rowok, np.maximum(lengths - k + 1, 0), 0)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_wins, out=offsets[1:])
+    total = int(lengths.sum())
+    if total < k or not n_wins.any():
+        child = np.empty(0, dtype=np.int64)
+    else:
+        nwg = total - k + 1
+        W = np.zeros(nwg, dtype=np.uint64)
+        for j in range(k):
+            # each term < mod < 2^31; k terms sum < k*2^31 — no overflow
+            W += flat[j : j + nwg] * P[k - 1 - j] % m
+        kh = (seed64 * P[k] % m + W) % m
+        row_of = np.repeat(np.arange(n), lengths)[:nwg]
+        pos = np.arange(nwg) - starts[row_of]
+        wmask = (pos <= lengths[row_of] - k) & rowok[row_of]
+        child = kh[wmask].astype(np.int64)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()).cast(pa.int32()),
+        pa.array(child, type=pa.int64()),
+        mask=pa.array(~rowok),
+    )
+
+
+def token_window_hashes_arrow(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    k: int = 8,
+    base: int = 1000003,
+    mod: int = 2147483647,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, wins array<bigint>) — every k-token window hash per row."""
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, wins array<bigint>"
+    )
+    src = df.select(F.col(id_col), F.col(tokens_col).alias("_t"))
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            wins = token_window_hash_kernel(
+                batch.column("_t"), k, base, mod, seed
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), wins], names=[id_col, "wins"]
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
+def token_window_pair_counts_arrow(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    k: int = 8,
+    base: int = 1000003,
+    mod: int = 2147483647,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, h, k_cnt) — one row per (document, DISTINCT k-window hash),
+    with k_cnt the within-document multiplicity. Rows with no windows
+    (null/child-null/short token lists) emit one sentinel row
+    (id, -1, 0) so EVERY input row is represented — consumers restore
+    zero-window docs without a join back to the source (real hashes are
+    always >= 0, so filtering h >= 0 recovers the pure pair stream).
+
+    This is the dedup-shaped form of token_window_hashes_arrow: the
+    per-(doc, hash) aggregation happens INSIDE the Arrow kernel
+    (mapInArrow re-batches, so the operator emits pair rows directly),
+    which removes the widest shuffle of the naive plan — a groupBy over
+    every single window occurrence. Distinct-doc counts downstream are
+    then a plain count per hash, because each doc contributes each hash
+    at most once (a doc_id duplicated across input ROWS contributes once
+    per row — each row is a document instance, so exact full-row
+    duplicates flag each other). Requires mod <= 2^32 (row ordinal and
+    hash pack into one uint64 sort key)."""
+    if mod > 1 << 32:
+        raise ValueError("token_window_pair_counts_arrow requires mod <= 2^32")
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, h bigint, k_cnt bigint"
+    )
+    src = df.select(F.col(id_col), F.col(tokens_col).alias("_t"))
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            wins = token_window_hash_kernel(
+                batch.column("_t"), k, base, mod, seed
+            )
+            off = wins.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = np.diff(off)
+            child = wins.values.to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            row_of = np.repeat(np.arange(len(lens)), lens)
+            key = (row_of.astype(np.uint64) << np.uint64(32)) | child
+            uk, counts = np.unique(key, return_counts=True)
+            rows = (uk >> np.uint64(32)).astype(np.int64)
+            hs = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            counts = counts.astype(np.int64)
+            zero_rows = np.nonzero(lens == 0)[0]
+            if len(zero_rows):
+                rows = np.concatenate([rows, zero_rows])
+                hs = np.concatenate(
+                    [hs, np.full(len(zero_rows), -1, dtype=np.int64)]
+                )
+                counts = np.concatenate(
+                    [counts, np.zeros(len(zero_rows), dtype=np.int64)]
+                )
+            ids = batch.column(id_col).take(pa.array(rows, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(hs, type=pa.int64()),
+                    pa.array(counts, type=pa.int64()),
+                ],
+                names=[id_col, "h", "k_cnt"],
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
 def simhash_kernel(h: pa.Array, bits: int = 60) -> np.ndarray:
     """(rows,) SimHash signatures from per-row word-hash lists.
 

@@ -651,3 +651,79 @@ def cross_table_lsh_pairs(
         .select(out_a, out_b)
         .distinct()
     )
+
+
+def token_ngram_dup_stats(
+    df: DataFrame,
+    k: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    base: int = 1000003,
+    mod: int = 2147483647,
+    seed: int = 7,
+    digits: int = 4,
+) -> DataFrame:
+    """Token-level exact k-gram duplication stats per document — the
+    tokens-column sibling of the text dedup family, in the spirit of
+    exact-substring training-data dedup (Lee et al. 2022,
+    arXiv:2107.06499): a window is *duplicated* when its k-token hash
+    occurs in >= `min_docs` DISTINCT documents.
+
+    Returns one row per DISTINCT id: (id, n_windows, n_dup_windows,
+    dup_rate) with dup_rate = round(n_dup/n_windows, digits). Rows whose
+    token list is null, contains nulls, or is shorter than k have no
+    windows: (id, 0, 0, 0.0). An id duplicated across input rows is one
+    output row summing both instances — and since each ROW counts as a
+    document instance, exact full-row duplicates flag each other's
+    windows as dups.
+
+    Scale shape: ONE Arrow pass computes every window hash O(n) per row
+    (no per-window refold) AND pre-aggregates to per-(doc, distinct-hash)
+    counts inside the kernel (token_window_pair_counts_arrow), so the
+    widest relation — every window occurrence — never reaches a shuffle.
+    What shuffles is compact: a count-per-hash aggregation (map-side
+    partials collapse hot hashes), the h-keyed join back (AQE broadcasts
+    the hash-count table when duplication is concentrated, skew-splits it
+    when not), and a per-doc rollup that partial-aggregates to one row
+    per doc before moving. The suffix-array machinery of the paper is
+    replaced by fixed-k fingerprints — the standard distributed
+    approximation; at 10^12 rows every shuffle key is a uniform 31-bit
+    hash."""
+    from ..functions.arrays import token_window_pair_counts_arrow
+
+    pdc = token_window_pair_counts_arrow(
+        df, tokens_col, id_col, k=k, base=base, mod=mod, seed=seed
+    )
+    # sentinel (h = -1, k_cnt = 0) rows keep zero-window docs in the
+    # stream, so no join back to the source is needed; they must not
+    # enter the hash counts
+    gc = (
+        pdc.filter(F.col("h") >= 0)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    # left join: every real hash matches (gc derives from the same
+    # stream); only sentinel rows dangle, contributing 0 to both sums
+    out = (
+        pdc.join(gc, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k_cnt").alias("_nw"),
+            F.sum(
+                F.when(F.col("n_docs") >= min_docs, F.col("k_cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_nd"),
+        )
+    )
+    nw = F.coalesce(F.col("_nw"), F.lit(0)).cast("bigint")
+    nd = F.coalesce(F.col("_nd"), F.lit(0)).cast("bigint")
+    return out.select(
+        id_col,
+        nw.alias("n_windows"),
+        nd.alias("n_dup_windows"),
+        F.when(nw > 0, F.round(nd.cast("double") / nw, digits))
+        .otherwise(F.lit(0.0))
+        .alias("dup_rate"),
+    )

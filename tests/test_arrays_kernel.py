@@ -237,3 +237,53 @@ def test_simhash_kernel_matches_naive_votes():
             if vote > 0:
                 want |= 1 << b
         assert got[i] == want, i
+
+
+def _naive_token_windows(toks, k=8, base=1000003, mod=2147483647, seed=7):
+    if toks is None or any(t is None for t in toks):
+        return None
+    out = []
+    for j in range(len(toks) - k + 1):
+        h = seed
+        for t in toks[j : j + k]:
+            h = (h * base + (t % mod)) % mod
+        out.append(h)
+    return out
+
+
+def test_token_window_hash_kernel_matches_naive_fold():
+    from fs_schema_validator_spark.functions.arrays import (
+        token_window_hash_kernel,
+    )
+
+    rows = [
+        [],                       # empty -> empty window list
+        [5],                      # shorter than k
+        list(range(7)),           # exactly k-1
+        list(range(8)),           # exactly k: one window
+        [(i * 31 + 7) % 50304 for i in range(40)],
+        [0] * 16,                 # constant run: identical windows
+        None,                     # null list -> null row
+        [1, None, 3, 4, 5, 6, 7, 8, 9],   # child null -> null row
+        [65535, -1, 2, 3, 4, 5, 6, 7, 8], # negative token: floor-mod
+    ]
+    got = token_window_hash_kernel(
+        pa.array(rows, type=pa.list_(pa.int32())), k=8
+    ).to_pylist()
+    for i, r in enumerate(rows):
+        assert got[i] == _naive_token_windows(r), r
+    # the constant run's windows are all identical
+    assert len(set(got[5])) == 1 and len(got[5]) == 9
+
+
+def test_token_window_hash_kernel_sliced_array():
+    from fs_schema_validator_spark.functions.arrays import (
+        token_window_hash_kernel,
+    )
+
+    rows = [list(range(j, j + 12)) for j in range(5)]
+    full = pa.array(rows, type=pa.list_(pa.int32()))
+    sliced = full.slice(2, 2)
+    w_full = token_window_hash_kernel(full, k=4).to_pylist()
+    w_sl = token_window_hash_kernel(sliced, k=4).to_pylist()
+    assert w_sl == w_full[2:4]

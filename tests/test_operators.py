@@ -1453,3 +1453,61 @@ def test_dsir_oracle_agrees_on_null_and_empty_text(spark, tmp_path):
     by_id = {d: (n, s) for d, n, s in got}
     for deg in (100, 102, 103):
         assert by_id[deg] == (0, 0.0)
+
+
+def test_token_ngram_dup_stats_planted_and_degenerate(spark):
+    """Token k-gram dedup semantics: exact copies rate 1.0; a doc sharing
+    exactly one window gets 1/n_windows; intra-doc repeats of a window
+    seen in only ONE doc are NOT dups (min_docs counts distinct docs);
+    null / child-null / short token lists have zero windows."""
+    from fs_schema_validator_spark.operators.dedup import (
+        token_ngram_dup_stats,
+    )
+
+    rows = [
+        ("a", list(range(20))),
+        ("b", list(range(20))),                     # exact copy of a
+        ("c", [100 + 17 * i for i in range(20)]),   # unique stream
+        ("d", list(range(8)) + [999 - i for i in range(7)]),  # 1 shared win
+        ("e", None),
+        ("f", [1, 2, 3]),                           # < k tokens
+        ("g", [5] * 30),                            # intra-doc repeats only
+        ("h", [4, None, 6, 7, 8, 9, 10, 11, 12]),   # child null
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_rate)
+        for r in token_ngram_dup_stats(df, k=8).collect()
+    }
+    assert len(out) == 8
+    assert out["a"] == (13, 13, 1.0)
+    assert out["b"] == (13, 13, 1.0)
+    assert out["c"] == (13, 0, 0.0)
+    assert out["d"] == (8, 1, 0.125)
+    assert out["g"] == (23, 0, 0.0)
+    for deg in ("e", "f", "h"):
+        assert out[deg] == (0, 0, 0.0)
+
+
+def test_token_ngram_dup_stats_oracle_parity():
+    """Cross-engine: the REAL driver query vs its REAL DuckDB oracle
+    (generator + closed-form window-hash replay) must agree bit-exactly."""
+    import duckdb
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    from fs_schema_validator_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    got = sorted(
+        tuple(r) for r in m.token_ngram_dup_stats(spark, "unused").collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r) for r in con.sql(m._token_ngram_oracle()).fetchall()
+    )
+    assert got == want

@@ -344,6 +344,18 @@ def main() -> None:
         )
     )
 
+    # token k-gram dedup: one Arrow window-hash pass, then compact
+    # (hash, count) aggregations — the corpus never self-joins and no
+    # pair set materializes
+    sections.append(
+        audit(
+            "token_ngram_dup_stats (Arrow window hashes + count aggs)",
+            qs["token_ngram_dup_stats"](spark, SF_DIR),
+            {"plan_contains": "MapInArrow",
+             "plan_excludes": "CartesianProduct"},
+        )
+    )
+
     md = ["# PLANS — physical-plan audit\n",
           "Generated by `tools/plan_audit.py` at sf0.01 / n=1000 synth.",
           "Expectations are asserted; FAIL lines are plan regressions.\n"]
