@@ -1472,9 +1472,12 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10
 # within-cell ordered pairs, exact cosine on round-5 doubles, keep-first
 # dup flags. The len(embedding) = 64 guard mirrors ivf_assign_arrow's
 # NULL cell for null / wrong-dimension vectors (none at these SFs, but
-# fixtures exercise it); fixtures must keep 64 the modal dimension of
-# the 32 smallest ids, or the engine's modal-length seed cleanup and
-# this fixed-width window would pick different seeds.
+# fixtures exercise it). The cent CTE replicates the engine's seed
+# sample EXACTLY: 32-smallest-id window first, THEN the dimension
+# filter, then the first 16 — so a window short on 64-dim rows yields
+# the same (fewer) seeds in both engines; the only remaining fixture
+# contract is that 64 is the MODAL length in that window (the engine
+# keeps the modal length, this SQL pins 64).
 _SEMANTIC_DUP_ORACLE = """
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
@@ -1484,9 +1487,11 @@ WITH corpus AS (
 ),
 cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                 embedding
-         FROM (SELECT * FROM embeddings
-               WHERE embedding IS NOT NULL AND len(embedding) = 64
-                 AND vec_id IS NOT NULL
+         FROM (SELECT * FROM (
+                 SELECT * FROM embeddings
+                 WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+                 ORDER BY vec_id LIMIT 32)
+               WHERE len(embedding) = 64
                ORDER BY vec_id LIMIT 16)),
 cn AS (SELECT cell, sqrt(sum(CAST(embedding[i] AS DOUBLE)
                              * CAST(embedding[i] AS DOUBLE))) AS nrm

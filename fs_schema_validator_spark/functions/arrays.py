@@ -35,14 +35,19 @@ def _fixed_dim_matrix(
 ) -> tuple[np.ndarray, np.ndarray]:
     """(matrix rows×dim float64, good mask) from a list column of vectors.
 
-    Rows that are null or shorter than `dim` are masked out (zero-filled in
-    the matrix) instead of silently gathering values from neighboring rows
-    or running off the end of the flat buffer — wrong-dimension embeddings
-    occur in real data (this engine ships `embedding_dim_violations` for
-    exactly that), so the kernels must degrade per-row, not corrupt the
-    batch."""
+    Rows that are null or whose length differs from `dim` are masked out
+    (zero-filled in the matrix) instead of silently gathering values from
+    neighboring rows or running off the end of the flat buffer —
+    wrong-dimension embeddings occur in real data (this engine ships
+    `embedding_dim_violations` for exactly that), so the kernels must
+    degrade per-row, not corrupt the batch. Strict equality, not >=: a
+    LONGER vector is as wrong-dimension as a shorter one — truncating it
+    to the first `dim` components would hand it a signature/cell the
+    SQL oracles (which guard len(embedding) = dim exactly) never see,
+    and downstream consumers that re-read the raw vector (e.g. the
+    SemDeDup cell kernel) would receive ragged data."""
     starts, lengths, values, validity = _list_views(arr)
-    good = validity & (lengths >= dim)
+    good = validity & (lengths == dim)
     flat = values.astype(np.float64, copy=False)
     mat = np.zeros((len(starts), dim), dtype=np.float64)
     if good.any():

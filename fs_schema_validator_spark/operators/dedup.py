@@ -678,18 +678,23 @@ def token_ngram_dup_stats(
     document instance, exact full-row duplicates flag each other's
     windows as dups.
 
-    Scale shape: ONE Arrow pass computes every window hash O(n) per row
-    (no per-window refold) AND pre-aggregates to per-(doc, distinct-hash)
-    counts inside the kernel (token_window_pair_counts_arrow), so the
-    widest relation — every window occurrence — never reaches a shuffle.
-    What shuffles is compact: a count-per-hash aggregation (map-side
-    partials collapse hot hashes), the h-keyed join back (AQE broadcasts
-    the hash-count table when duplication is concentrated, skew-splits it
-    when not), and a per-doc rollup that partial-aggregates to one row
-    per doc before moving. The suffix-array machinery of the paper is
-    replaced by fixed-k fingerprints — the standard distributed
-    approximation; at 10^12 rows every shuffle key is a uniform 31-bit
-    hash."""
+    Scale shape: the Arrow kernel computes every window hash O(n) per
+    row (no per-window refold) AND pre-aggregates to per-(doc,
+    distinct-hash) counts in the same pass
+    (token_window_pair_counts_arrow), so the widest relation — every
+    window occurrence — never reaches a shuffle. The pair stream feeds
+    two consumers (the global hash counts and the flag join), so the
+    kernel lineage executes twice per action — DELIBERATELY uncached:
+    at 1M docs / 256M windows, persisting the pair stream measured 2x
+    slower than recomputing the NumPy kernel (materializing the widest
+    relation costs more than the hashing). What shuffles is compact: a
+    count-per-hash aggregation (map-side partials collapse hot hashes),
+    the h-keyed join back (AQE broadcasts the hash-count table when
+    duplication is concentrated, skew-splits it when not), and a
+    per-doc rollup that partial-aggregates to one row per doc before
+    moving. The suffix-array machinery of the paper is replaced by
+    fixed-k fingerprints — the standard distributed approximation; at
+    10^12 rows every shuffle key is a uniform 31-bit hash."""
     from ..functions.arrays import token_window_pair_counts_arrow
 
     pdc = token_window_pair_counts_arrow(

@@ -548,6 +548,9 @@ def semantic_dedup(
     testing and for consumers that want the qualifying pairs
     themselves. Both strategies flag the identical set whenever cells
     fit under the cap."""
+    if strategy not in ("kernel", "pairs"):
+        # fail before the driver-side seed collect / tracked cache
+        raise ValueError(f"unknown strategy {strategy!r}")
     from ..functions.arrays import ivf_assign_arrow
     from ..functions.cache import track
 
@@ -565,7 +568,8 @@ def semantic_dedup(
     )
     if strategy == "kernel":
         flagged = _cell_dedup_kernel(
-            df, eligible, threshold, vec_col, id_col, digits
+            df, eligible, threshold, vec_col, id_col, digits,
+            dim=centroids.shape[1],
         )
         out = assigned.join(flagged, id_col, "left")
         return out.select(
@@ -573,8 +577,6 @@ def semantic_dedup(
             cell_out,
             F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
         )
-    if strategy != "pairs":
-        raise ValueError(f"unknown strategy {strategy!r}")
     from .dedup import bucket_pairs
 
     cand = track(
@@ -623,6 +625,7 @@ def _cell_dedup_kernel(
     vec_col: str,
     id_col: str,
     digits: int,
+    dim: int,
     block: int = 256,
 ) -> DataFrame:
     """(id, is_dup) for every eligible row: per-cell blockwise cosine
@@ -630,11 +633,19 @@ def _cell_dedup_kernel(
     a row is a dup if any earlier row's cosine (rounded to `digits`, the
     same round-before-threshold contract as the pairs form) reaches the
     threshold. Block-at-a-time `X[block] @ X[:upper].T` keeps peak memory
-    O(block × cell) on a degenerate giant cell instead of O(cell²)."""
+    O(block × cell) on a degenerate giant cell instead of O(cell²).
+
+    Eligible rows all share the centroid dimension (ivf_assign_arrow's
+    strict == dim mask guarantees it), so the cell matrix is
+    rectangular. Rounding is half-away-from-zero, NOT np.round's
+    half-to-even — Spark's F.round and DuckDB's round() both round ties
+    away from zero, and the pairs strategy / the SQL oracle replay go
+    through those."""
     import numpy as np
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
+    scale = 10.0 ** digits
 
     def flag_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -647,14 +658,26 @@ def _cell_dedup_kernel(
         for lo in range(1, m, block):
             hi = min(lo + block, m)
             # cosine of rows [lo, hi) against ALL rows before hi
-            sims = np.round(mat[lo:hi] @ mat[:hi].T, digits)
+            raw = mat[lo:hi] @ mat[:hi].T
+            sims = np.sign(raw) * np.floor(np.abs(raw) * scale + 0.5) / scale
             for k in range(hi - lo):
                 i = lo + k
                 dup[i] = bool((sims[k, :i] >= threshold).any())
         return pd.DataFrame({id_col: pdf[id_col], "is_dup": dup})
 
-    src = eligible.join(df.select(id_col, vec_col), id_col).select(
-        id_col, "cell", F.col(vec_col).alias("_v")
+    # the join back to re-fetch vectors is keyed by id: with a DUPLICATED
+    # id, an eligible (dim-length) row would also pick up its sibling's
+    # possibly wrong-dimension vector and go ragged — re-assert the exact
+    # length on the fetched side, not just on the eligibility side
+    src = (
+        eligible.join(
+            df.select(
+                id_col, F.col(vec_col).cast("array<double>").alias("_v")
+            ),
+            id_col,
+        )
+        .filter(F.size("_v") == F.lit(dim))
+        .select(id_col, "cell", "_v")
     )
     return src.groupBy("cell").applyInPandas(
         flag_cell, f"{id_col} {id_type}, is_dup boolean"

@@ -287,3 +287,31 @@ def test_token_window_hash_kernel_sliced_array():
     w_full = token_window_hash_kernel(full, k=4).to_pylist()
     w_sl = token_window_hash_kernel(sliced, k=4).to_pylist()
     assert w_sl == w_full[2:4]
+
+
+def test_token_window_hashes_arrow_spark_roundtrip(spark):
+    """The list-output Spark wrapper (the general form consumers use for
+    position-attributed windows) must carry the kernel's per-row
+    contract through mapInArrow: hashes for full rows, null for
+    null/child-null rows, empty for short rows."""
+    from fs_schema_validator_spark.functions.arrays import (
+        token_window_hashes_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", list(range(9))),
+            ("b", None),
+            ("c", [1, 2]),
+            ("d", [4, None, 6, 7, 8, 9, 10, 11, 12]),
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    rows = {
+        r.doc_id: r.wins
+        for r in token_window_hashes_arrow(df, "tokens", k=8).collect()
+    }
+    assert rows["a"] == _naive_token_windows(list(range(9)), k=8)
+    assert rows["b"] is None
+    assert rows["c"] == []
+    assert rows["d"] is None

@@ -1235,6 +1235,7 @@ def test_semantic_dedup_flags_planted_copies(spark, strategy):
     rows = [(i, _vec(i)) for i in range(40)]
     rows += [(1000 + i, _vec(i)) for i in range(3)]     # exact copies
     rows += [(2000, None), (2001, [1.0, 2.0, 3.0])]     # degenerate rows
+    rows += [(2002, _vec(0) + [0.5])]                   # LONGER than dim
     rows += [(None, _vec(5))]                           # null id, valid vec
     emb = spark.createDataFrame(
         rows, "vec_id bigint, embedding array<double>"
@@ -1246,13 +1247,17 @@ def test_semantic_dedup_flags_planted_copies(spark, strategy):
             strategy=strategy,
         ).collect()
     }
-    assert len(out) == 46
+    assert len(out) == 47
     for i in range(3):
         assert out[1000 + i].is_dup
         assert not out[i].is_dup
         assert out[1000 + i].cell == out[i].cell  # identical vec, same cell
     assert sum(bool(r.is_dup) for r in out.values()) == 3
-    for bad in (2000, 2001, None):
+    # 2002 is a 65-dim vector equal to vec 0 plus one extra component: a
+    # LONGER-than-dim row must get a NULL cell (strict == dim mask), not
+    # a truncated assignment that would crash the rectangular cell
+    # matrix or flag vec 0
+    for bad in (2000, 2001, 2002, None):
         assert out[bad].cell is None and not out[bad].is_dup
     # the null-id copy of vec 5 must NOT flag vec 5 (it never pairs)
     assert not out[5].is_dup
@@ -1327,7 +1332,8 @@ def test_semantic_dedup_kernel_blockwise_matches_small_blocks(spark):
         flags[blk] = sorted(
             (r.vec_id, r.is_dup)
             for r in _cell_dedup_kernel(
-                emb, eligible, 0.95, "embedding", "vec_id", 5, block=blk
+                emb, eligible, 0.95, "embedding", "vec_id", 5, dim=64,
+                block=blk,
             ).collect()
         )
     assert flags[4] == flags[256]
@@ -1511,3 +1517,21 @@ def test_token_ngram_dup_stats_oracle_parity():
         tuple(r) for r in con.sql(m._token_ngram_oracle()).fetchall()
     )
     assert got == want
+
+
+def test_semantic_dedup_kernel_duplicate_id_wrong_dim_sibling(spark):
+    """Regression: a DUPLICATED id whose sibling row has a wrong (longer)
+    dimension must not crash the cell kernel — the join back that
+    re-fetches vectors by id would otherwise mix both siblings into one
+    ragged cell matrix."""
+    rows = [(i, _vec(i)) for i in range(20)]
+    rows += [(3, _vec(3) + [0.5])]   # duplicate id, 65-dim sibling
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    out = similarity.semantic_dedup(
+        emb, n_centroids=4, threshold=0.95
+    ).collect()
+    assert len(out) == 21
+    assert sum(bool(r.is_dup) for r in out) == 0
+    assert sum(r.cell is None for r in out) == 1   # the 65-dim sibling
