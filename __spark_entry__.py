@@ -1070,6 +1070,109 @@ def contamination_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_table_lsh_pairs(docs, bench)
 
 
+_NGRAM_N = 400
+_NGRAM_K = 8
+
+
+def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both text decontamination screens in one gated query: 'exact'
+    rows are whole-document fingerprint hits
+    (textstats.cross_table_overlap), 'near_dup' rows are cross-table
+    MinHash-LSH candidates (dedup.cross_table_lsh_pairs) that catch
+    lightly-edited leaks. The sibling queries contamination_overlap /
+    contamination_near_dup (diagnostic tail) gate each operator alone;
+    this union keeps both under the driver window in one slot."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    exact = textstats.cross_table_overlap(docs, bench).select(
+        F.lit("exact").alias("mode"), "corpus_id", "bench_id"
+    )
+    fuzzy = dedup.cross_table_lsh_pairs(docs, bench).select(
+        F.lit("near_dup").alias("mode"), "corpus_id", "bench_id"
+    )
+    return exact.unionByName(fuzzy)
+
+
+def token_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level decontamination (dedup.token_ngram_contamination)
+    over the north-rule sequences shape: corpus = 300 generated docs +
+    two degenerate rows; benchmark = every 50th doc under a 'bench-' id
+    (token streams identical, so those corpus docs are fully
+    contaminated; same-source stream collisions give partial rates).
+    Oracle replays both generators and the closed-form window hash."""
+    from fs_schema_validator_spark.sources import synth
+
+    base = synth.gen_sequences(spark, _NGRAM_N // 2 + 100)
+    i = F.regexp_extract("doc_id", r"doc-(\d+)", 1).cast("long")
+    bench = base.filter(i % 50 == 0).select(
+        F.format_string("bench-%08d", i).alias("doc_id"),
+        "tokens",
+        "n_tok",
+        "source",
+    )
+    deg = spark.sql(
+        "SELECT 'deg-null' AS doc_id, CAST(NULL AS array<int>) AS tokens, "
+        "CAST(0 AS int) AS n_tok, 'cc' AS source "
+        "UNION ALL SELECT 'deg-short', CAST(array(1, 2, 3) AS array<int>), "
+        "CAST(3 AS int), 'cc'"
+    )
+    corpus = base.unionByName(deg)
+    return dedup.token_ngram_contamination(corpus, bench, k=_NGRAM_K)
+
+
+def _token_contamination_oracle(
+    n: int = _NGRAM_N // 2 + 100,
+    k: int = _NGRAM_K,
+    base: int = 1000003,
+    mod: int = 2147483647,
+    seed: int = 7,
+) -> str:
+    """DuckDB replay of token_ngram_contamination: same generator +
+    closed-form window-hash CTEs as _token_ngram_oracle; benchmark
+    windows come from the i %% 50 = 0 docs, membership via semi join."""
+    powers = [pow(base, k - 1 - t, mod) for t in range(k)]
+    seed_pk = seed * pow(base, k, mod) % mod
+    terms = " + ".join(
+        f"((i*31 + (j0+{t})*7) % vocab) * {powers[t]}" for t in range(k)
+    )
+    return f"""
+WITH base AS (
+  SELECT i, printf('doc-%08d', i) AS doc_id,
+         CAST(1 + (i % 512) AS INT) AS n_tok,
+         CASE i % 4 WHEN 0 THEN 'cc' WHEN 1 THEN 'wiki'
+                    WHEN 2 THEN 'code' ELSE 'books' END AS source
+  FROM range(0, {n}) t(i)
+), v AS (
+  SELECT *, CASE source WHEN 'cc' THEN 50304 WHEN 'wiki' THEN 32000
+                        WHEN 'code' THEN 65536 ELSE 32000 END AS vocab
+  FROM base
+), wins AS (
+  SELECT doc_id, i,
+         unnest(list_transform(range(0, n_tok - {k - 1}),
+                j0 -> ({seed_pk} + {terms}) % {mod})) AS h
+  FROM v WHERE n_tok >= {k}
+), bh AS (
+  SELECT DISTINCT h FROM wins WHERE i % 50 = 0
+), per AS (
+  SELECT doc_id, count(*) AS nw,
+         sum(CASE WHEN h IN (SELECT h FROM bh) THEN 1 ELSE 0 END) AS nc
+  FROM wins GROUP BY doc_id
+), ids AS (
+  SELECT doc_id FROM base
+  UNION ALL SELECT 'deg-null' UNION ALL SELECT 'deg-short'
+)
+SELECT ids.doc_id,
+       CAST(coalesce(nw, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(nc, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN coalesce(nw, 0) > 0
+            THEN round(coalesce(nc, 0) * 1.0 / nw, 4)
+            ELSE 0.0 END AS contamination_rate
+FROM ids LEFT JOIN per USING (doc_id)
+"""
+
+
 def stratified_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~20% stratified sample per lang — row-local portable
     hash filter, replayed exactly by the oracle."""
@@ -1151,10 +1254,6 @@ def pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # contract
-
-
-_NGRAM_N = 400
-_NGRAM_K = 8
 
 
 def token_ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1313,14 +1412,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignment": split_assignment,
         "sequence_packing": sequence_packing,
         "vocab_top_terms_by_lang": vocab_top_terms_by_lang,
-        "contamination_overlap": contamination_overlap,
-        "contamination_near_dup": contamination_near_dup,
+        "contamination_screen": contamination_screen,
+        "token_ngram_contamination": token_ngram_contamination,
         "stratified_sample_ids": stratified_sample_ids,
         # --- tail: oracle-sibling / diagnostic variants (operators gated
         # above); may fall outside the driver's 50-entry window ---
         # (minhash_lsh_pairs is the banding-stage diagnostic of the
-        # MinHash operator gated end-to-end via minhash_dedup_verified)
+        # MinHash operator gated end-to-end via minhash_dedup_verified;
+        # the two contamination_* entries gate each text screen alone —
+        # both operators sit in the window via contamination_screen)
         "minhash_lsh_pairs": minhash_lsh_pairs,
+        "contamination_overlap": contamination_overlap,
+        "contamination_near_dup": contamination_near_dup,
         "rolling_dup_groups": rolling_dup_groups,
         "doc_fingerprints": doc_fingerprints,
         "multimodal_resize": multimodal_resize,
@@ -1866,6 +1969,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM v GROUP BY subject"
         ),
         "token_ngram_dup_stats": _token_ngram_oracle(),
+        "token_ngram_contamination": _token_contamination_oracle(),
+        "contamination_screen": (
+            # both sibling oracles nest as derived tables (DuckDB allows
+            # WITH inside a parenthesized subquery) under a mode tag
+            "SELECT 'exact' AS mode, corpus_id, bench_id FROM ("
+            "WITH b AS (SELECT doc_id + 500000 AS bench_id, "
+            "md5(lower(trim(text))) AS fingerprint FROM documents "
+            "WHERE doc_id % 25 = 0), "
+            "c AS (SELECT doc_id AS corpus_id, md5(lower(trim(text))) "
+            "AS fingerprint FROM documents) "
+            "SELECT b.bench_id, c.corpus_id FROM b JOIN c USING (fingerprint)"
+            ") UNION ALL "
+            "SELECT 'near_dup' AS mode, corpus_id, bench_id FROM ("
+            + _contamination_near_dup_oracle()
+            + ")"
+        ),
         "stats_threshold_violations": (
             "SELECT CAST(l_returnflag AS VARCHAR) AS subject, "
             "'qty_mean_bound' AS rule_id, "

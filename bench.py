@@ -68,6 +68,9 @@ HEADLINE = [
     "contamination_near_dup",
     "semantic_dup_flags",
     "dsir_importance_weights",
+    "contamination_screen",
+    "token_ngram_dup_stats",
+    "token_ngram_contamination",
 ]
 
 # Timed and reported in `queries`, but EXCLUDED from the summed headline
@@ -80,6 +83,9 @@ VALUE_EXCLUDED = {
     "contamination_near_dup",
     "semantic_dup_flags",
     "dsir_importance_weights",
+    "contamination_screen",
+    "token_ngram_dup_stats",
+    "token_ngram_contamination",
 }
 
 SEQ_RULES = r"""

@@ -732,3 +732,66 @@ def token_ngram_dup_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_rate"),
     )
+
+
+def token_ngram_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    base: int = 1000003,
+    mod: int = 2147483647,
+    seed: int = 7,
+    digits: int = 4,
+) -> DataFrame:
+    """Token-level decontamination screen: for every corpus document,
+    the share of its k-token windows that appear ANYWHERE in the
+    benchmark table — the tokens-column sibling of the text screens
+    (exact fingerprints in textstats.cross_table_overlap, fuzzy MinHash
+    in cross_table_lsh_pairs), catching eval leaks that survive
+    re-tokenization boundary shifts worse than whole-doc hashes do.
+
+    Returns one row per distinct corpus id: (id, n_windows,
+    n_contaminated, contamination_rate); zero-window docs (null /
+    child-null / short token lists) report (0, 0, 0.0).
+
+    Scale shape: both sides go through the same single-pass window-hash
+    + per-doc pair-count kernel (token_window_pair_counts_arrow). The
+    benchmark reduces to its DISTINCT window hashes and is broadcast —
+    a benchmark is small by nature (same contract as the text screens);
+    for a benchmark too large to broadcast, drop the hint and AQE plans
+    the h-keyed shuffle join. The corpus side never shuffles its window
+    stream: the flag join is map-side, and the per-doc rollup
+    partial-aggregates to one row per doc."""
+    from ..functions.arrays import token_window_pair_counts_arrow
+
+    cp = token_window_pair_counts_arrow(
+        corpus, tokens_col, id_col, k=k, base=base, mod=mod, seed=seed
+    )
+    bh = (
+        token_window_pair_counts_arrow(
+            bench, tokens_col, id_col, k=k, base=base, mod=mod, seed=seed
+        )
+        .filter(F.col("h") >= 0)
+        .select("h")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    j = cp.join(F.broadcast(bh), "h", "left")
+    out = j.groupBy(id_col).agg(
+        F.sum("k_cnt").alias("_nw"),
+        F.sum(
+            F.when(F.col("_hit"), F.col("k_cnt")).otherwise(F.lit(0))
+        ).alias("_nc"),
+    )
+    nw = F.coalesce(F.col("_nw"), F.lit(0)).cast("bigint")
+    nc = F.coalesce(F.col("_nc"), F.lit(0)).cast("bigint")
+    return out.select(
+        id_col,
+        nw.alias("n_windows"),
+        nc.alias("n_contaminated"),
+        F.when(nw > 0, F.round(nc.cast("double") / nw, digits))
+        .otherwise(F.lit(0.0))
+        .alias("contamination_rate"),
+    )

@@ -1535,3 +1535,63 @@ def test_semantic_dedup_kernel_duplicate_id_wrong_dim_sibling(spark):
     assert len(out) == 21
     assert sum(bool(r.is_dup) for r in out) == 0
     assert sum(r.cell is None for r in out) == 1   # the 65-dim sibling
+
+
+def test_token_ngram_contamination_semantics(spark):
+    """Token-level decontamination: a corpus doc whose token stream is a
+    benchmark doc is fully contaminated; sharing exactly one window
+    gives 1/n_windows; disjoint streams score 0; degenerate rows have
+    zero windows. Benchmark-side degenerate rows contribute nothing."""
+    from fs_schema_validator_spark.operators.dedup import (
+        token_ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            ("a", list(range(20))),
+            ("b", [900 + 13 * i for i in range(20)]),
+            ("c", list(range(8)) + [777 - i for i in range(7)]),
+            ("e", None),
+            ("f", [1, 2, 3]),
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    bench = spark.createDataFrame(
+        [("q1", list(range(20))), ("q2", None), ("q3", [5, 6])],
+        "doc_id string, tokens array<int>",
+    )
+    out = {
+        r.doc_id: (r.n_windows, r.n_contaminated, r.contamination_rate)
+        for r in token_ngram_contamination(corpus, bench, k=8).collect()
+    }
+    assert len(out) == 5
+    assert out["a"] == (13, 13, 1.0)
+    assert out["b"] == (13, 0, 0.0)
+    assert out["c"] == (8, 1, 0.125)
+    assert out["e"] == (0, 0, 0.0)
+    assert out["f"] == (0, 0, 0.0)
+
+
+def test_token_ngram_contamination_oracle_parity():
+    """Cross-engine: the REAL driver query vs its REAL DuckDB oracle."""
+    import duckdb
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod2", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    from fs_schema_validator_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    got = sorted(
+        tuple(r)
+        for r in m.token_ngram_contamination(spark, "unused").collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.sql(m._token_contamination_oracle()).fetchall()
+    )
+    assert got == want

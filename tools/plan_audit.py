@@ -356,6 +356,26 @@ def main() -> None:
         )
     )
 
+    # combined text screens: both benchmark sides broadcast; no corpus
+    # self-join in either branch of the union
+    sections.append(
+        audit(
+            "contamination_screen (exact + fuzzy union, bench broadcast)",
+            qs["contamination_screen"](spark, SF_DIR),
+            {"has_broadcast": True, "plan_excludes": "SortMergeJoin"},
+        )
+    )
+    # token-level decontamination: one Arrow pass per side, benchmark
+    # distinct-hash set broadcast, corpus window stream never shuffles
+    sections.append(
+        audit(
+            "token_ngram_contamination (Arrow window hashes, bench broadcast)",
+            qs["token_ngram_contamination"](spark, SF_DIR),
+            {"plan_contains": "MapInArrow", "has_broadcast": True,
+             "plan_excludes": "CartesianProduct"},
+        )
+    )
+
     md = ["# PLANS — physical-plan audit\n",
           "Generated by `tools/plan_audit.py` at sf0.01 / n=1000 synth.",
           "Expectations are asserted; FAIL lines are plan regressions.\n"]
