@@ -1039,10 +1039,7 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination screen: every 25th document plays the benchmark
     set (shifted ids); fingerprint join returns the corpus docs that
     would leak eval content into training."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 500000).alias("doc_id"), "text"
-    )
+    docs, bench = _contamination_inputs(spark, sf_dir)
     return textstats.cross_table_overlap(docs, bench)
 
 
@@ -1063,15 +1060,73 @@ def contamination_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding — catches lightly-edited eval leaks the exact-fingerprint
     screen (contamination_overlap) misses. Benchmark side broadcast; the
     oracle replays both banding pipelines in SQL."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 500000).alias("doc_id"), "text"
-    )
+    docs, bench = _contamination_inputs(spark, sf_dir)
     return dedup.cross_table_lsh_pairs(docs, bench)
 
 
 _NGRAM_N = 400
 _NGRAM_K = 8
+
+
+def _degenerate_sequences(spark: SparkSession) -> DataFrame:
+    """Two degenerate sequences-table rows shared by the token-window
+    queries: a null token list and a list shorter than k — both must
+    come out as zero-window (0, 0, 0.0) rows."""
+    return spark.sql(
+        "SELECT 'deg-null' AS doc_id, CAST(NULL AS array<int>) AS tokens, "
+        "CAST(0 AS int) AS n_tok, 'cc' AS source "
+        "UNION ALL SELECT 'deg-short', CAST(array(1, 2, 3) AS array<int>), "
+        "CAST(3 AS int), 'cc'"
+    )
+
+
+def _seq_window_sql(
+    n: int, k: int, base: int, mod: int, seed: int
+) -> tuple[str, str]:
+    """Shared SQL building blocks for the token-window oracles: the
+    generator-replay CTE text (`base` with i/doc_id/n_tok/source, `v`
+    adding vocab — the single SQL source of truth for
+    sources/synth.gen_sequences) and the window-hash expression
+    (references columns i, n_tok, vocab; every k-window hash
+    seed*base^k + sum_t tok(j0+t)*base^(k-1-t) mod m in closed form —
+    each term < 2^47, the k-term sum < 2^50: BIGINT-safe; tokens are
+    non-negative so DuckDB's truncating %% equals the kernel's
+    floor-mod)."""
+    powers = [pow(base, k - 1 - t, mod) for t in range(k)]
+    seed_pk = seed * pow(base, k, mod) % mod
+    terms = " + ".join(
+        f"((i*31 + (j0+{t})*7) % vocab) * {powers[t]}" for t in range(k)
+    )
+    ctes = f"""base AS (
+  SELECT i, printf('doc-%08d', i) AS doc_id,
+         CAST(1 + (i % 512) AS INT) AS n_tok,
+         CASE i % 4 WHEN 0 THEN 'cc' WHEN 1 THEN 'wiki'
+                    WHEN 2 THEN 'code' ELSE 'books' END AS source
+  FROM range(0, {n}) t(i)
+), v AS (
+  SELECT *, CASE source WHEN 'cc' THEN 50304 WHEN 'wiki' THEN 32000
+                        WHEN 'code' THEN 65536 ELSE 32000 END AS vocab
+  FROM base
+)"""
+    win_expr = (
+        f"unnest(list_transform(range(0, n_tok - {k - 1}), "
+        f"j0 -> ({seed_pk} + {terms}) % {mod}))"
+    )
+    return ctes, win_expr
+
+
+def _contamination_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(corpus docs, benchmark) for ALL text decontamination queries:
+    every 25th document plays the benchmark set under a shifted id. One
+    definition so the gated union query and the solo diagnostics screen
+    the identical input."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    return docs, bench
 
 
 def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1082,10 +1137,7 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     lightly-edited leaks. The sibling queries contamination_overlap /
     contamination_near_dup (diagnostic tail) gate each operator alone;
     this union keeps both under the driver window in one slot."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 500000).alias("doc_id"), "text"
-    )
+    docs, bench = _contamination_inputs(spark, sf_dir)
     exact = textstats.cross_table_overlap(docs, bench).select(
         F.lit("exact").alias("mode"), "corpus_id", "bench_id"
     )
@@ -1112,13 +1164,7 @@ def token_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         "source",
     )
-    deg = spark.sql(
-        "SELECT 'deg-null' AS doc_id, CAST(NULL AS array<int>) AS tokens, "
-        "CAST(0 AS int) AS n_tok, 'cc' AS source "
-        "UNION ALL SELECT 'deg-short', CAST(array(1, 2, 3) AS array<int>), "
-        "CAST(3 AS int), 'cc'"
-    )
-    corpus = base.unionByName(deg)
+    corpus = base.unionByName(_degenerate_sequences(spark))
     return dedup.token_ngram_contamination(corpus, bench, k=_NGRAM_K)
 
 
@@ -1129,29 +1175,14 @@ def _token_contamination_oracle(
     mod: int = 2147483647,
     seed: int = 7,
 ) -> str:
-    """DuckDB replay of token_ngram_contamination: same generator +
-    closed-form window-hash CTEs as _token_ngram_oracle; benchmark
-    windows come from the i %% 50 = 0 docs, membership via semi join."""
-    powers = [pow(base, k - 1 - t, mod) for t in range(k)]
-    seed_pk = seed * pow(base, k, mod) % mod
-    terms = " + ".join(
-        f"((i*31 + (j0+{t})*7) % vocab) * {powers[t]}" for t in range(k)
-    )
+    """DuckDB replay of token_ngram_contamination over the shared
+    generator-replay + closed-form window-hash blocks (_seq_window_sql);
+    benchmark windows come from the i %% 50 = 0 docs, membership via
+    semi join."""
+    ctes, win_expr = _seq_window_sql(n, k, base, mod, seed)
     return f"""
-WITH base AS (
-  SELECT i, printf('doc-%08d', i) AS doc_id,
-         CAST(1 + (i % 512) AS INT) AS n_tok,
-         CASE i % 4 WHEN 0 THEN 'cc' WHEN 1 THEN 'wiki'
-                    WHEN 2 THEN 'code' ELSE 'books' END AS source
-  FROM range(0, {n}) t(i)
-), v AS (
-  SELECT *, CASE source WHEN 'cc' THEN 50304 WHEN 'wiki' THEN 32000
-                        WHEN 'code' THEN 65536 ELSE 32000 END AS vocab
-  FROM base
-), wins AS (
-  SELECT doc_id, i,
-         unnest(list_transform(range(0, n_tok - {k - 1}),
-                j0 -> ({seed_pk} + {terms}) % {mod})) AS h
+WITH {ctes}, wins AS (
+  SELECT doc_id, i, {win_expr} AS h
   FROM v WHERE n_tok >= {k}
 ), bh AS (
   SELECT DISTINCT h FROM wins WHERE i % 50 = 0
@@ -1279,13 +1310,9 @@ def token_ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         "source",
     )
-    deg = spark.sql(
-        "SELECT 'deg-null' AS doc_id, CAST(NULL AS array<int>) AS tokens, "
-        "CAST(0 AS int) AS n_tok, 'cc' AS source "
-        "UNION ALL SELECT 'deg-short', CAST(array(1, 2, 3) AS array<int>), "
-        "CAST(3 AS int), 'cc'"
+    corpus = base.unionByName(planted).unionByName(
+        _degenerate_sequences(spark)
     )
-    corpus = base.unionByName(planted).unionByName(deg)
     return dedup.token_ngram_dup_stats(corpus, k=_NGRAM_K)
 
 
@@ -1296,36 +1323,17 @@ def _token_ngram_oracle(
     mod: int = 2147483647,
     seed: int = 7,
 ) -> str:
-    """DuckDB replay of token_ngram_dup_stats: the generator's tokens are
-    (i*31 + j*7) % vocab(source), so each k-window hash has the closed
-    form seed*base^k + sum_t tok(j0+t)*base^(k-1-t) (mod m) — spelled out
-    per term with precomputed powers (each term < 2^47, the 8-term sum
-    < 2^50: BIGINT-safe; all tokens are non-negative so DuckDB's
-    truncating %% equals the kernel's floor-mod)."""
-    powers = [pow(base, k - 1 - t, mod) for t in range(k)]
-    seed_pk = seed * pow(base, k, mod) % mod
-    terms = " + ".join(
-        f"((i*31 + (j0+{t})*7) % vocab) * {powers[t]}" for t in range(k)
-    )
+    """DuckDB replay of token_ngram_dup_stats over the shared
+    generator-replay + closed-form window-hash blocks
+    (_seq_window_sql)."""
+    ctes, win_expr = _seq_window_sql(n, k, base, mod, seed)
     return f"""
-WITH base AS (
-  SELECT i, printf('doc-%08d', i) AS doc_id,
-         CAST(1 + (i % 512) AS INT) AS n_tok,
-         CASE i % 4 WHEN 0 THEN 'cc' WHEN 1 THEN 'wiki'
-                    WHEN 2 THEN 'code' ELSE 'books' END AS source
-  FROM range(0, {n}) t(i)
-), v AS (
-  SELECT *, CASE source WHEN 'cc' THEN 50304 WHEN 'wiki' THEN 32000
-                        WHEN 'code' THEN 65536 ELSE 32000 END AS vocab
-  FROM base
-), corpus AS (
+WITH {ctes}, corpus AS (
   SELECT doc_id, i, n_tok, vocab FROM v
   UNION ALL
   SELECT printf('dup-%08d', i), i, n_tok, vocab FROM v WHERE i % 20 = 0
 ), wins AS (
-  SELECT doc_id,
-         unnest(list_transform(range(0, n_tok - {k - 1}),
-                j0 -> ({seed_pk} + {terms}) % {mod})) AS h
+  SELECT doc_id, {win_expr} AS h
   FROM corpus WHERE n_tok >= {k}
 ), pdc AS (
   SELECT doc_id, h, count(*) AS k_cnt FROM wins GROUP BY doc_id, h
@@ -1442,6 +1450,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
+
+# one SQL source of truth for the exact decontamination fingerprint
+# normalization (mirror of textstats.cross_table_overlap), shared by the
+# contamination_overlap oracle and contamination_screen's exact branch
+_CONTAM_EXACT_CTES = (
+    "b AS (SELECT doc_id + 500000 AS bench_id, "
+    "md5(lower(trim(text))) AS fingerprint FROM documents "
+    "WHERE doc_id % 25 = 0), "
+    "c AS (SELECT doc_id AS corpus_id, md5(lower(trim(text))) "
+    "AS fingerprint FROM documents)"
+)
 
 # 60-bit engine-portable word hash (mirror of dedup.portable_word_hashes):
 # first 15 hex chars of md5, folded base-16 with list_reduce.
@@ -1974,11 +1993,7 @@ def oracle_sql() -> dict[str, str]:
             # both sibling oracles nest as derived tables (DuckDB allows
             # WITH inside a parenthesized subquery) under a mode tag
             "SELECT 'exact' AS mode, corpus_id, bench_id FROM ("
-            "WITH b AS (SELECT doc_id + 500000 AS bench_id, "
-            "md5(lower(trim(text))) AS fingerprint FROM documents "
-            "WHERE doc_id % 25 = 0), "
-            "c AS (SELECT doc_id AS corpus_id, md5(lower(trim(text))) "
-            "AS fingerprint FROM documents) "
+            f"WITH {_CONTAM_EXACT_CTES} "
             "SELECT b.bench_id, c.corpus_id FROM b JOIN c USING (fingerprint)"
             ") UNION ALL "
             "SELECT 'near_dup' AS mode, corpus_id, bench_id FROM ("
@@ -2200,11 +2215,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, token, n, rank FROM r WHERE rank <= 10"
         ),
         "contamination_overlap": (
-            "WITH b AS (SELECT doc_id + 500000 AS bench_id, "
-            "md5(lower(trim(text))) AS fingerprint FROM documents "
-            "WHERE doc_id % 25 = 0), "
-            "c AS (SELECT doc_id AS corpus_id, md5(lower(trim(text))) "
-            "AS fingerprint FROM documents) "
+            f"WITH {_CONTAM_EXACT_CTES} "
             "SELECT b.bench_id, c.corpus_id, b.fingerprint "
             "FROM b JOIN c USING (fingerprint)"
         ),

@@ -65,7 +65,9 @@ HEADLINE = [
     "repetition_quality",
     "unigram_entropy",
     "pii_scrub_counts",
-    "contamination_near_dup",
+    # contamination_near_dup's pipeline is timed inside the
+    # contamination_screen union — listing both would run the
+    # cross-table LSH screen twice per pass
     "semantic_dup_flags",
     "dsir_importance_weights",
     "contamination_screen",
@@ -80,7 +82,6 @@ VALUE_EXCLUDED = {
     "repetition_quality",
     "unigram_entropy",
     "pii_scrub_counts",
-    "contamination_near_dup",
     "semantic_dup_flags",
     "dsir_importance_weights",
     "contamination_screen",
