@@ -248,3 +248,47 @@ def test_degenerate_rows_mask_property(rows, offset):
         [(r is None or len(r) == 0) for r in rows[off:]], dtype=bool
     )
     assert (got == expect).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1),
+                ),
+                max_size=24,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_token_window_hash_kernel_property(rows, k):
+    """Every k-window hash equals the direct fold; null rows and rows
+    containing null tokens -> null output; short rows -> empty; negative
+    tokens fold through Python floor-mod (the kernel's documented
+    semantics)."""
+    from fs_schema_validator_spark.functions.arrays import (
+        token_window_hash_kernel,
+    )
+
+    mod, base, seed = 2147483647, 1000003, 7
+    got = token_window_hash_kernel(
+        pa.array(rows, type=pa.list_(pa.int32())), k=k
+    ).to_pylist()
+    for i, r in enumerate(rows):
+        if r is None or any(t is None for t in r):
+            assert got[i] is None, (i, r)
+            continue
+        want = []
+        for j in range(len(r) - k + 1):
+            h = seed
+            for t in r[j : j + k]:
+                h = (h * base + (t % mod)) % mod
+            want.append(h)
+        assert got[i] == want, (i, r, k)
