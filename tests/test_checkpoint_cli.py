@@ -279,3 +279,42 @@ def test_null_subject_violations_attributed_to_their_partition(spark, tmp_path):
     assert res["nullbad"]["verdict"] == "FAIL"
     assert res["nullbad"]["n_violations"] == 1
     assert "(global)" not in res
+
+
+def test_pyfiles_zip_imports_standalone(tmp_path):
+    """The spark-submit --py-files artifact must be importable via
+    zipimport with NO repo checkout on the path — exactly how executors
+    load it. Builds the zip with the real packaging tool, then imports
+    the package and compiles a rule spec from inside the zip in a clean
+    subprocess."""
+    import subprocess
+    import sys
+
+    build = subprocess.run(
+        [sys.executable, "/root/repo/tools/package_pyfiles.py", str(tmp_path)],
+        capture_output=True,
+        text=True,
+    )
+    assert build.returncode == 0, build.stderr
+    zip_path = tmp_path / "fs_schema_validator_spark.zip"
+    assert zip_path.exists()
+    probe = (
+        "import sys\n"
+        f"sys.path.insert(0, {str(zip_path)!r})\n"
+        "from fs_schema_validator_spark.rules.loader import RuleSet\n"
+        "rs = RuleSet.from_yaml('''\n"
+        "schema:\n"
+        "  - {type: not_empty, id: t, column: tokens}\n"
+        "''')\n"
+        "assert len(rs.rules) == 1, rs.rules\n"
+        "print('ZIPIMPORT-OK')\n"
+    )
+    run = subprocess.run(
+        [sys.executable, "-c", probe],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",
+        env={"PATH": "/usr/bin:/bin", "PYTHONPATH": ""},
+    )
+    assert run.returncode == 0, run.stderr
+    assert "ZIPIMPORT-OK" in run.stdout
