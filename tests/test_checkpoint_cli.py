@@ -302,6 +302,9 @@ def test_pyfiles_zip_imports_standalone(tmp_path):
         "import sys\n"
         f"sys.path.insert(0, {str(zip_path)!r})\n"
         "from fs_schema_validator_spark.rules.loader import RuleSet\n"
+        "import fs_schema_validator_spark as _pkg\n"
+        # the package must resolve FROM THE ZIP, not a fallback path
+        f"assert {str(zip_path)!r} in _pkg.__file__, _pkg.__file__\n"
         "rs = RuleSet.from_yaml('''\n"
         "schema:\n"
         "  - {type: not_empty, id: t, column: tokens}\n"
