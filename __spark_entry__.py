@@ -1015,6 +1015,47 @@ def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% stratified sample per lang — row-local portable
+    hash filter, replayed exactly by the oracle."""
+    from fs_schema_validator_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(docs, "doc_id", 20, group_cols=["lang"])
+
+
+def sampling_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both row-local deterministic sampling operators in one gated
+    slot: 'split' rows carry the hash-split assignment
+    (sampling.hash_split), 'stratified' rows the per-lang 20% sample
+    (sampling.stratified_sample). The solo queries stay in the
+    diagnostic tail — same consolidation pattern as
+    contamination_screen."""
+    s = split_assignment(spark, sf_dir).select(
+        F.lit("split").alias("mode"), "doc_id", F.col("split").alias("val")
+    )
+    st = stratified_sample_ids(spark, sf_dir).select(
+        F.lit("stratified").alias("mode"),
+        "doc_id",
+        F.col("lang").cast("string").alias("val"),
+    )
+    return s.unionByName(st)
+
+
+def temperature_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source mixing
+    (sampling.temperature_sample): per-lang keep rates proportional to
+    w^0.7 flatten the language distribution at half the corpus weight;
+    the oracle replays the rate computation and the portable hash keep
+    decision row-for-row."""
+    from fs_schema_validator_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.temperature_sample(
+        docs, "lang", "n_chars", alpha=0.7, target_frac=0.5
+    )
+
+
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chop packing of documents into 2048-char context windows
     per lang (operators/sampling.pack_offsets): placement is one windowed
@@ -1202,15 +1243,6 @@ SELECT ids.doc_id,
             ELSE 0.0 END AS contamination_rate
 FROM ids LEFT JOIN per USING (doc_id)
 """
-
-
-def stratified_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~20% stratified sample per lang — row-local portable
-    hash filter, replayed exactly by the oracle."""
-    from fs_schema_validator_spark.operators import sampling
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    return sampling.stratified_sample(docs, "doc_id", 20, group_cols=["lang"])
 
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,12 +1449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_entropy": unigram_entropy,
         "pii_scrub_counts": pii_scrub_counts,
         "table_profile_documents": table_profile_documents,
-        "split_assignment": split_assignment,
+        "sampling_assignments": sampling_assignments,
         "sequence_packing": sequence_packing,
         "vocab_top_terms_by_lang": vocab_top_terms_by_lang,
         "contamination_screen": contamination_screen,
         "token_ngram_contamination": token_ngram_contamination,
-        "stratified_sample_ids": stratified_sample_ids,
+        "temperature_sample_ids": temperature_sample_ids,
         # --- tail: oracle-sibling / diagnostic variants (operators gated
         # above); may fall outside the driver's 50-entry window ---
         # (minhash_lsh_pairs is the banding-stage diagnostic of the
@@ -1432,6 +1464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "contamination_overlap": contamination_overlap,
         "contamination_near_dup": contamination_near_dup,
+        # (split_assignment / stratified_sample_ids gate each sampling
+        # operator alone — both sit in the window via sampling_assignments)
+        "split_assignment": split_assignment,
+        "stratified_sample_ids": stratified_sample_ids,
         "rolling_dup_groups": rolling_dup_groups,
         "doc_fingerprints": doc_fingerprints,
         "multimodal_resize": multimodal_resize,
@@ -1450,6 +1486,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
+
+# single SQL source of truth for the two row-local sampling oracles,
+# shared by the solo entries and the sampling_assignments union
+def _split_oracle() -> str:
+    return (
+        "WITH b AS (SELECT doc_id, "
+        + _hex15("'split' || CAST(doc_id AS VARCHAR)")
+        + " % 10 AS bucket FROM documents) "
+        "SELECT doc_id, CASE WHEN bucket < 8 THEN 'train' "
+        "WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split FROM b"
+    )
+
+
+def _stratified_oracle() -> str:
+    return (
+        "SELECT doc_id, lang FROM documents WHERE "
+        + _hex15(
+            "'sample' || '|' || "
+            "(CASE WHEN lang IS NULL THEN 'n' ELSE 'v' || md5(lang) END)"
+            " || '|' || CAST(doc_id AS VARCHAR)"
+        )
+        + " % 100 < 20"
+    )
+
+
+def _temperature_oracle(alpha: float = 0.7, target_frac: float = 0.5) -> str:
+    """Replay of sampling.temperature_sample over documents(lang,
+    n_chars): per-group w^alpha rates, portable-hash keep decision on
+    10^6 buckets. Float-boundary risk (pow/sum ulp differences flipping
+    round(q*10^6) or round(q, 6)) is the same measure-zero class the
+    rounded-output oracles accept."""
+    keep_hash = _hex15(
+        "'temp' || '|' || "
+        "(CASE WHEN d.lang IS NULL THEN 'n' ELSE 'v' || md5(d.lang) END)"
+        " || '|' || CAST(d.doc_id AS VARCHAR)"
+    )
+    return f"""
+WITH t AS (SELECT lang, sum(CAST(n_chars AS DOUBLE)) AS w
+           FROM documents GROUP BY lang),
+g AS (SELECT sum(w) AS w_tot, sum(pow(w, {alpha})) AS s_tot FROM t),
+r AS (SELECT lang,
+             least(1.0, {target_frac} * w_tot * (pow(w, {alpha}) / s_tot) / w)
+             AS q
+      FROM t CROSS JOIN g)
+SELECT d.doc_id, d.lang, round(r.q, 6) AS keep_rate
+FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+WHERE {keep_hash} % 1000000 < CAST(round(r.q * 1000000) AS BIGINT)
+"""
+
 
 # one SQL source of truth for the exact decontamination fingerprint
 # normalization (mirror of textstats.cross_table_overlap), shared by the
@@ -2198,13 +2283,16 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(max({c}) AS VARCHAR) AS max_value FROM documents"
             for c in ["doc_id", "lang", "source", "n_chars"]
         ),
-        "split_assignment": (
-            "WITH b AS (SELECT doc_id, "
-            + _hex15("'split' || CAST(doc_id AS VARCHAR)")
-            + " % 10 AS bucket FROM documents) "
-            "SELECT doc_id, CASE WHEN bucket < 8 THEN 'train' "
-            "WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split FROM b"
+        "split_assignment": _split_oracle(),
+        "sampling_assignments": (
+            "SELECT 'split' AS mode, doc_id, split AS val FROM ("
+            + _split_oracle()
+            + ") UNION ALL SELECT 'stratified' AS mode, doc_id, "
+            "CAST(lang AS VARCHAR) AS val FROM ("
+            + _stratified_oracle()
+            + ")"
         ),
+        "temperature_sample_ids": _temperature_oracle(),
         "vocab_top_terms_by_lang": (
             f"WITH w AS (SELECT lang, unnest({_WORDS}) AS token FROM documents), "
             "c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n "
@@ -2219,15 +2307,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT b.bench_id, c.corpus_id, b.fingerprint "
             "FROM b JOIN c USING (fingerprint)"
         ),
-        "stratified_sample_ids": (
-            "SELECT doc_id, lang FROM documents WHERE "
-            + _hex15(
-                "'sample' || '|' || "
-                "(CASE WHEN lang IS NULL THEN 'n' ELSE 'v' || md5(lang) END)"
-                " || '|' || CAST(doc_id AS VARCHAR)"
-            )
-            + " % 100 < 20"
-        ),
+        "stratified_sample_ids": _stratified_oracle(),
         "sequence_packing": (
             "WITH s AS (SELECT doc_id, lang, n_chars, "
             "CAST(COALESCE(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id "

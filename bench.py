@@ -73,6 +73,7 @@ HEADLINE = [
     "contamination_screen",
     "token_ngram_dup_stats",
     "token_ngram_contamination",
+    "temperature_sample_ids",
 ]
 
 # Timed and reported in `queries`, but EXCLUDED from the summed headline
@@ -87,6 +88,7 @@ VALUE_EXCLUDED = {
     "contamination_screen",
     "token_ngram_dup_stats",
     "token_ngram_contamination",
+    "temperature_sample_ids",
 }
 
 SEQ_RULES = r"""

@@ -122,3 +122,79 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         acc += w
     return df.withColumn("split", expr)
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    alpha: float = 0.7,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+    digits: int = 6,
+) -> DataFrame:
+    """Temperature-balanced source sampling — the data-mixing step of
+    multi-source pretraining (Gopher / LLaMA style): source s is sampled
+    with probability proportional to w_s^alpha; alpha < 1 flattens the
+    distribution so small, high-quality sources are upweighted against a
+    dominant crawl.
+
+    With w_s the group's total weight, W = sum w, p_s = w_s^alpha /
+    sum_t w_t^alpha, the per-row keep rate is
+    q_s = min(1, target_frac * W * p_s / w_s): the expected sampled
+    WEIGHT is target_frac*W apportioned across groups by p_s, capped at
+    full inclusion of a group. A row is kept iff its portable hash
+    bucket (salt||group||id over 10^6 buckets — the stratified_sample
+    null-safe 'n'/'v'+md5 group encoding) falls under round(q_s*10^6) —
+    deterministic across runs, partitionings, and engines, so the DuckDB
+    oracle replays the exact kept set. Returns kept rows with the
+    group's keep_rate (rounded to `digits`).
+
+    Scale shape: one tiny per-group aggregation (map-side partials) and
+    one single-row grand total, broadcast back onto the corpus; the keep
+    decision is a row-local filter — the corpus itself never shuffles.
+    The only float boundary risk is a hash bucket landing within one ulp
+    of round(q*10^6) across engines' pow(); with 10^6 buckets that is
+    the same measure-zero class the rounded-output oracles accept."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    totals = df.groupBy(group_col).agg(F.sum(w).alias("w"))
+    # grand totals via a global window over the group-count-sized totals
+    # table — a separate .agg() would re-execute the corpus scan for a
+    # second time just to sum a handful of rows
+    t = totals.withColumn("pw", F.pow(F.col("w"), F.lit(float(alpha))))
+    wall = Window.partitionBy()
+    rates = t.select(
+        F.col(group_col).alias("_g"),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_frac))
+            * F.sum("w").over(wall)
+            * (F.col("pw") / F.sum("pw").over(wall))
+            / F.col("w"),
+        ).alias("_q"),
+    )
+    joined = df.join(
+        F.broadcast(rates), F.col(group_col).eqNullSafe(F.col("_g"))
+    )
+    gc = F.col(group_col).cast("string")
+    key = F.concat_ws(
+        "|",
+        F.lit(salt),
+        F.when(gc.isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.md5(gc))
+        ),
+        F.col(id_col).cast("string"),
+    )
+    bucket = split_bucket(key, 1_000_000, salt="")
+    thr = F.round(F.col("_q") * 1_000_000).cast("bigint")
+    return (
+        joined.filter(bucket < thr)
+        .select(
+            id_col,
+            group_col,
+            F.round(F.col("_q"), digits).alias("keep_rate"),
+        )
+    )

@@ -1595,3 +1595,41 @@ def test_token_ngram_contamination_oracle_parity():
         for r in con.sql(m._token_contamination_oracle()).fetchall()
     )
     assert got == want
+
+
+def test_temperature_sample_properties(spark):
+    """Temperature mixing semantics: alpha=1 reduces to a uniform
+    target_frac for every group; alpha=0 splits the budget equally
+    across groups so the small group caps at full inclusion; the keep
+    decision is deterministic; null-group rows form their own stratum."""
+    from fs_schema_validator_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(f"a{i}", "cc", 100) for i in range(900)]
+    rows += [(f"b{i}", "books", 100) for i in range(60)]
+    rows += [(f"n{i}", None, 100) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, w int")
+
+    # alpha=1: every group's keep_rate is exactly target_frac
+    out1 = temperature_sample(df, "lang", "w", alpha=1.0, target_frac=0.4)
+    rates = {r.lang: r.keep_rate for r in out1.collect()}
+    assert set(rates.values()) == {0.4}
+    n1 = out1.count()
+    assert 0.3 * 1000 < n1 < 0.5 * 1000     # ~400 of 1000 kept
+
+    # alpha=0: budget splits equally over the 3 strata (incl. the null
+    # one) -> the small groups' rates cap at 1.0, the big one shrinks
+    out0 = temperature_sample(df, "lang", "w", alpha=0.0, target_frac=0.5)
+    r0 = {r.lang: r.keep_rate for r in out0.collect()}
+    assert r0["books"] == 1.0 and r0[None] == 1.0
+    assert 0 < r0["cc"] < 0.5
+    # every books/null row is kept (rate 1.0)
+    assert out0.filter(F.col("lang").isNull()).count() == 40
+    assert out0.filter(F.col("lang") == "books").count() == 60
+
+    # deterministic: identical kept sets across runs
+    ids = lambda d: sorted(r.doc_id for r in d.collect())
+    assert ids(out0) == ids(
+        temperature_sample(df, "lang", "w", alpha=0.0, target_frac=0.5)
+    )

@@ -376,6 +376,17 @@ def main() -> None:
         )
     )
 
+    # temperature mixing: tiny per-group rates broadcast back; the keep
+    # decision is a row-local filter — the corpus never shuffles
+    sections.append(
+        audit(
+            "temperature_sample_ids (broadcast rates, row-local keep)",
+            qs["temperature_sample_ids"](spark, SF_DIR),
+            {"has_broadcast": True, "plan_excludes": "SortMergeJoin",
+             "max_scans": 2},
+        )
+    )
+
     md = ["# PLANS — physical-plan audit\n",
           "Generated by `tools/plan_audit.py` at sf0.01 / n=1000 synth.",
           "Expectations are asserted; FAIL lines are plan regressions.\n"]
