@@ -1052,7 +1052,7 @@ def temperature_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return sampling.temperature_sample(
-        docs, "lang", "n_chars", alpha=0.7, target_frac=0.5
+        docs, "lang", "n_chars", alpha=_TEMP_ALPHA, target_frac=_TEMP_FRAC
     )
 
 
@@ -1487,6 +1487,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
 
+# the temperature query's parameters — used by BOTH the Spark query and
+# its oracle so a one-sided tuning cannot silently diverge the kept set
+_TEMP_ALPHA = 0.7
+_TEMP_FRAC = 0.5
+
+
+def _sql_group_enc(expr: str) -> str:
+    """DuckDB mirror of sampling._group_enc: never-null, delimiter-free
+    hash-key part encoding ('n' for null, 'v'||md5 otherwise)."""
+    return (
+        f"(CASE WHEN {expr} IS NULL THEN 'n' "
+        f"ELSE 'v' || md5(CAST({expr} AS VARCHAR)) END)"
+    )
+
+
 # single SQL source of truth for the two row-local sampling oracles,
 # shared by the solo entries and the sampling_assignments union
 def _split_oracle() -> str:
@@ -1501,38 +1516,42 @@ def _split_oracle() -> str:
 
 def _stratified_oracle() -> str:
     return (
-        "SELECT doc_id, lang FROM documents WHERE "
+        "SELECT doc_id, lang FROM documents WHERE doc_id IS NOT NULL AND "
         + _hex15(
-            "'sample' || '|' || "
-            "(CASE WHEN lang IS NULL THEN 'n' ELSE 'v' || md5(lang) END)"
-            " || '|' || CAST(doc_id AS VARCHAR)"
+            "'sample' || '|' || " + _sql_group_enc("lang")
+            + " || '|' || CAST(doc_id AS VARCHAR)"
         )
         + " % 100 < 20"
     )
 
 
-def _temperature_oracle(alpha: float = 0.7, target_frac: float = 0.5) -> str:
+def _temperature_oracle(
+    alpha: float = _TEMP_ALPHA, target_frac: float = _TEMP_FRAC
+) -> str:
     """Replay of sampling.temperature_sample over documents(lang,
     n_chars): per-group w^alpha rates, portable-hash keep decision on
-    10^6 buckets. Float-boundary risk (pow/sum ulp differences flipping
-    round(q*10^6) or round(q, 6)) is the same measure-zero class the
-    rounded-output oracles accept."""
+    10^6 buckets; NULL/zero-weight groups rate 0.0 and null-id rows
+    excluded, mirroring the operator. Float-boundary risk (pow/sum ulp
+    differences flipping round(q*10^6) or round(q, 6)) is the same
+    measure-zero class the rounded-output oracles accept."""
     keep_hash = _hex15(
-        "'temp' || '|' || "
-        "(CASE WHEN d.lang IS NULL THEN 'n' ELSE 'v' || md5(d.lang) END)"
-        " || '|' || CAST(d.doc_id AS VARCHAR)"
+        "'temp' || '|' || " + _sql_group_enc("d.lang")
+        + " || '|' || CAST(d.doc_id AS VARCHAR)"
     )
     return f"""
 WITH t AS (SELECT lang, sum(CAST(n_chars AS DOUBLE)) AS w
            FROM documents GROUP BY lang),
 g AS (SELECT sum(w) AS w_tot, sum(pow(w, {alpha})) AS s_tot FROM t),
 r AS (SELECT lang,
-             least(1.0, {target_frac} * w_tot * (pow(w, {alpha}) / s_tot) / w)
-             AS q
+             CASE WHEN w > 0 AND s_tot > 0
+                  THEN least(1.0, {target_frac} * w_tot
+                             * (pow(w, {alpha}) / s_tot) / w)
+                  ELSE 0.0 END AS q
       FROM t CROSS JOIN g)
 SELECT d.doc_id, d.lang, round(r.q, 6) AS keep_rate
 FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
-WHERE {keep_hash} % 1000000 < CAST(round(r.q * 1000000) AS BIGINT)
+WHERE d.doc_id IS NOT NULL
+  AND {keep_hash} % 1000000 < CAST(round(r.q * 1000000) AS BIGINT)
 """
 
 

@@ -29,6 +29,21 @@ def split_bucket(id_col: Column, total: int, salt: str = "split") -> Column:
     return h % total
 
 
+def _group_enc(c: Column) -> Column:
+    """Never-null, delimiter-free encoding of a hash-key part. Two traps
+    in a naive concat_ws of raw values: (1) concat_ws silently SKIPS
+    nulls, so a null part would hash as if absent while a SQL oracle's
+    `||` yields NULL and excludes the row; (2) a '|' inside a value
+    aliases distinct parts onto one hash input. 'n' (null) or
+    'v'||md5(value) avoids both, and DuckDB replays it verbatim — the
+    ONE encoding every deterministic-sampling operator and its oracle
+    must share."""
+    s = c.cast("string")
+    return F.when(s.isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v"), F.md5(s))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,
@@ -42,25 +57,15 @@ def stratified_sample(
     independently at the same rate (stratified sampling without a shuffle:
     the filter is row-local, unlike sampleBy which needs a fractions map
     collected up front). Re-runs, re-partitionings, and engine swaps keep
-    the exact same rows."""
+    the exact same rows. Null-id rows are excluded — a null subject is a
+    validation finding, and concat_ws would silently drop the id from
+    the hash key while a SQL replay's `||` nulls the whole key."""
     parts = [F.lit(salt)]
     for g in group_cols or []:
-        # Two traps in a naive concat_ws of raw group values: (1)
-        # concat_ws silently SKIPS nulls, so a null-lang row would hash
-        # as if ungrouped while the SQL oracle's `||` yields NULL and
-        # excludes it; (2) a '|' inside a value aliases distinct strata
-        # onto one hash input. Encoding each part as 'n' (null) or
-        # 'v'||md5(value) is never-null and delimiter-free, and DuckDB
-        # replays it verbatim.
-        c = F.col(g).cast("string")
-        parts.append(
-            F.when(c.isNull(), F.lit("n")).otherwise(
-                F.concat(F.lit("v"), F.md5(c))
-            )
-        )
+        parts.append(_group_enc(F.col(g)))
     parts.append(F.col(id_col).cast("string"))
     bucket = split_bucket(F.concat_ws("|", *parts), 100, salt="")
-    return df.filter(bucket < fraction_pct)
+    return df.filter(F.col(id_col).isNotNull() & (bucket < fraction_pct))
 
 
 def pack_offsets(
@@ -144,7 +149,11 @@ def temperature_sample(
     sum_t w_t^alpha, the per-row keep rate is
     q_s = min(1, target_frac * W * p_s / w_s): the expected sampled
     WEIGHT is target_frac*W apportioned across groups by p_s, capped at
-    full inclusion of a group. A row is kept iff its portable hash
+    full inclusion of a group. Groups whose total weight is NULL or 0
+    get rate 0.0 (they claim no budget; the naive formula would either
+    abort with ANSI DIVIDE_BY_ZERO or silently keep the whole group via
+    least(1.0, NULL)). Null-id rows are excluded, like
+    stratified_sample. A row is kept iff its portable hash
     bucket (salt||group||id over 10^6 buckets — the stratified_sample
     null-safe 'n'/'v'+md5 group encoding) falls under round(q_s*10^6) —
     deterministic across runs, partitionings, and engines, so the DuckDB
@@ -166,32 +175,42 @@ def temperature_sample(
     # second time just to sum a handful of rows
     t = totals.withColumn("pw", F.pow(F.col("w"), F.lit(float(alpha))))
     wall = Window.partitionBy()
+    s_tot = F.sum("pw").over(wall)
+    # a group with NULL or 0 total weight has no budget claim: rate 0.0
+    # (not the NULL-swallowing least(1.0, NULL) = 1.0, and not an ANSI
+    # DIVIDE_BY_ZERO abort); the s_tot > 0 leg covers an all-weightless
+    # corpus
     rates = t.select(
         F.col(group_col).alias("_g"),
-        F.least(
-            F.lit(1.0),
-            F.lit(float(target_frac))
-            * F.sum("w").over(wall)
-            * (F.col("pw") / F.sum("pw").over(wall))
-            / F.col("w"),
-        ).alias("_q"),
+        F.when(
+            (F.col("w") > 0) & (s_tot > 0),
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_frac))
+                * F.sum("w").over(wall)
+                * (F.col("pw") / s_tot)
+                / F.col("w"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_q"),
     )
     joined = df.join(
         F.broadcast(rates), F.col(group_col).eqNullSafe(F.col("_g"))
     )
-    gc = F.col(group_col).cast("string")
     key = F.concat_ws(
         "|",
         F.lit(salt),
-        F.when(gc.isNull(), F.lit("n")).otherwise(
-            F.concat(F.lit("v"), F.md5(gc))
-        ),
+        _group_enc(F.col(group_col)),
         F.col(id_col).cast("string"),
     )
     bucket = split_bucket(key, 1_000_000, salt="")
     thr = F.round(F.col("_q") * 1_000_000).cast("bigint")
+    # null-id rows excluded like stratified_sample: concat_ws would drop
+    # the id from the key (whole-group block keep/drop) while a SQL
+    # replay's `||` nulls the key entirely
     return (
-        joined.filter(bucket < thr)
+        joined.filter(F.col(id_col).isNotNull() & (bucket < thr))
         .select(
             id_col,
             group_col,

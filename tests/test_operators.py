@@ -1633,3 +1633,46 @@ def test_temperature_sample_properties(spark):
     assert ids(out0) == ids(
         temperature_sample(df, "lang", "w", alpha=0.0, target_frac=0.5)
     )
+
+
+def test_temperature_sample_degenerate_groups_cross_engine(spark):
+    """Zero-weight and all-NULL-weight groups get rate 0.0 (no ANSI
+    divide-by-zero abort, no least(1.0, NULL) full inclusion), and
+    null-id rows are excluded — verified CROSS-ENGINE against the real
+    oracle SQL on the same hostile fixture."""
+    import importlib.util
+
+    import duckdb
+    import pandas as pd
+
+    from fs_schema_validator_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(f"a{i}", "en", 100) for i in range(30)]
+    rows += [(f"z{i}", "zero", 0) for i in range(5)]    # zero weight
+    rows += [(f"m{i}", "nullw", None) for i in range(5)]  # null weights
+    rows += [(None, "en", 100)]                          # null id
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_chars int")
+    got = sorted(
+        tuple(r)
+        for r in temperature_sample(
+            df, "lang", "n_chars", alpha=0.7, target_frac=0.5
+        ).collect()
+    )
+    # no zero/nullw/null-id rows survive
+    assert all(v[1] == "en" for v in got)
+    assert all(v[0] is not None for v in got)
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod3", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "lang", "n_chars"]),
+    )
+    want = sorted(tuple(r) for r in con.sql(m._temperature_oracle()).fetchall())
+    assert got == want
