@@ -1095,6 +1095,56 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection.dsir_importance(docs, target, n_buckets=256, alpha=1.0)
 
 
+def bigram_xent_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filter
+    (selection.bigram_cross_entropy): every document's cross-entropy
+    under an add-1-smoothed 64-bucket hashed-bigram model counted on
+    the benchmark set (every 25th document — the same reference corpus
+    DSIR targets); documents unlike the reference score high."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = docs.filter(F.col("doc_id") % 25 == 0)
+    return selection.bigram_cross_entropy(docs, lm, n_buckets=64, alpha=1.0)
+
+
+def _bigram_xent_oracle(n_buckets: int = 64, modulus: int = 25) -> str:
+    """Bigram cross-entropy replay: per-word 'blm'-salted 60-bit hash
+    into n_buckets, adjacent pairs via 1-based list indexing (DuckDB's
+    range(2, n+1) is empty when n < 2, mirroring the engine's size
+    guard), add-1-smoothed conditional log-probs from the benchmark
+    counts, per-doc mean of -ln P rounded at 4 (the dsir precedent:
+    every log argument is a function of integer counts, so only fp
+    addition order differs between engines)."""
+    b = float(n_buckets)
+    hb = (
+        "list_transform("
+        + _WORDS
+        + ", t -> "
+        + _hex15("'blm' || t")
+        + f" % {n_buckets})"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {hb} AS hb FROM documents),
+pr AS (SELECT doc_id,
+              unnest(list_transform(range(2, len(hb) + 1),
+                     i -> [hb[i - 1], hb[i]])) AS p
+       FROM tok),
+ab AS (SELECT doc_id, p[1] AS a, p[2] AS b FROM pr),
+cab AS (SELECT a, b, count(*) AS cab FROM ab
+        WHERE doc_id % {modulus} = 0 GROUP BY a, b),
+ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY a),
+pdc AS (SELECT doc_id, a, b, count(*) AS k FROM ab GROUP BY doc_id, a, b),
+per AS (SELECT doc_id, sum(k) AS n,
+               sum(k * ln((coalesce(cab, 0) + 1.0)
+                          / (coalesce(ca, 0) + {b}))) AS s
+        FROM pdc LEFT JOIN cab USING (a, b) LEFT JOIN ca USING (a)
+        GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(per.n, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN coalesce(per.n, 0) > 0 THEN round(-per.s / per.n, 4)
+            ELSE 0.0 END AS cross_entropy
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 def contamination_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY decontamination (dedup.cross_table_lsh_pairs): corpus docs
     that are NEAR-dups of benchmark docs via cross-table portable-MinHash
@@ -1414,7 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_duplicates": uniqueness_duplicates,
         "referential_orphans": referential_orphans,
         "completeness_missing": completeness_missing,
-        "stats_by_group": stats_by_group,
+        "bigram_xent_scores": bigram_xent_scores,
         "stats_rollup": stats_rollup,
         "quantiles_by_group": quantiles_by_group,
         "histogram_psi": histogram_psi,
@@ -1465,9 +1515,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": contamination_overlap,
         "contamination_near_dup": contamination_near_dup,
         # (split_assignment / stratified_sample_ids gate each sampling
-        # operator alone — both sit in the window via sampling_assignments)
+        # operator alone — both sit in the window via sampling_assignments;
+        # stats_by_group's per-group rows are a subset of the gated
+        # stats_rollup grouping sets)
         "split_assignment": split_assignment,
         "stratified_sample_ids": stratified_sample_ids,
+        "stats_by_group": stats_by_group,
         "rolling_dup_groups": rolling_dup_groups,
         "doc_fingerprints": doc_fingerprints,
         "multimodal_resize": multimodal_resize,
@@ -2092,6 +2145,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM v GROUP BY subject"
         ),
         "token_ngram_dup_stats": _token_ngram_oracle(),
+        "bigram_xent_scores": _bigram_xent_oracle(),
         "token_ngram_contamination": _token_contamination_oracle(),
         "contamination_screen": (
             # both sibling oracles nest as derived tables (DuckDB allows

@@ -74,6 +74,7 @@ HEADLINE = [
     "token_ngram_dup_stats",
     "token_ngram_contamination",
     "temperature_sample_ids",
+    "bigram_xent_scores",
 ]
 
 # Timed and reported in `queries`, but EXCLUDED from the summed headline
@@ -89,6 +90,7 @@ VALUE_EXCLUDED = {
     "token_ngram_dup_stats",
     "token_ngram_contamination",
     "temperature_sample_ids",
+    "bigram_xent_scores",
 }
 
 SEQ_RULES = r"""

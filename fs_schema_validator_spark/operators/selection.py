@@ -126,3 +126,104 @@ def dsir_importance(
             "dsir_score"
         ),
     )
+
+
+def bigram_cross_entropy(
+    corpus: DataFrame,
+    lm_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    alpha: float = 1.0,
+    salt: str = "blm",
+    digits: int = 4,
+) -> DataFrame:
+    """(id, n_bigrams, cross_entropy) — each document's mean negative
+    log-probability under an add-alpha-smoothed hashed-BIGRAM model
+    counted on `lm_corpus` (the CCNet-style perplexity quality filter:
+    documents unlike the clean reference corpus score high and get
+    bucketed out; DSIR's unigram LLR is the importance-weighting
+    sibling, this is the sequential-context one).
+
+    P(b | a) = (C(a,b) + alpha) / (C(a) + alpha * B) over B-bucket word
+    hashes (the engine-portable md5 prefix, so the DuckDB oracle replays
+    scores exactly up to fp addition order — every log argument is a
+    function of integer counts). xent = -1/n * sum ln P over a doc's n
+    bigrams; docs with < 2 words report (0, 0.0).
+
+    Scale shape: pure codegen SQL — one explode per side into
+    per-(doc, a, b) partial-agg counts; the model is at most B^2 + B
+    rows, broadcast onto the corpus counts; one per-doc rollup. No
+    Python, no UDF."""
+    from .sampling import split_bucket
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        hb = F.transform(
+            words(F.lower(F.col(text_col))),
+            lambda t: split_bucket(t, n_buckets, salt=salt),
+        )
+        # bind the bucket array ONCE via the 1-element-array trick:
+        # referencing `hb` inside the per-index lambda would inline the
+        # whole tokenize+hash expression per element (CollapseProject)
+        pairs = F.flatten(
+            F.transform(
+                F.array(hb),
+                lambda h: F.when(
+                    F.size(h) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(2), F.size(h)),
+                        lambda i: F.struct(
+                            F.element_at(h, i - 1).alias("a"),
+                            F.element_at(h, i).alias("b"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<a:bigint,b:bigint>>")
+                ),
+            )
+        )
+        return (
+            df.select(F.col(id_col), F.explode(pairs).alias("p"))
+            .select(id_col, "p.a", "p.b")
+            .groupBy(id_col, "a", "b")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+
+    cab = (
+        pair_counts(lm_corpus)
+        .groupBy("a", "b")
+        .agg(F.sum("k").alias("cab"))
+    )
+    ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
+    pdc = pair_counts(corpus)
+    logp = F.log(
+        (F.coalesce(F.col("cab"), F.lit(0)) + F.lit(float(alpha)))
+        / (
+            F.coalesce(F.col("ca"), F.lit(0))
+            + F.lit(float(alpha) * n_buckets)
+        )
+    )
+    # two separate left joins: an unseen (a, b) pair still needs C(a)
+    # when the CONTEXT bucket was seen, so the context totals cannot
+    # ride the pair-count join
+    scored = (
+        pdc.join(F.broadcast(cab), ["a", "b"], "left")
+        .join(F.broadcast(ca), "a", "left")
+        .withColumn("_lp", logp)
+    )
+    per = scored.groupBy(id_col).agg(
+        F.sum("k").alias("_n"),
+        F.sum(F.col("k") * F.col("_lp")).alias("_s"),
+    )
+    ids = corpus.select(id_col).distinct()
+    out = ids.join(per, id_col, "left")
+    n = F.coalesce(F.col("_n"), F.lit(0)).cast("bigint")
+    return out.select(
+        id_col,
+        n.alias("n_bigrams"),
+        F.when(
+            n > 0, F.round(-F.col("_s") / F.col("_n"), digits)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cross_entropy"),
+    )

@@ -1676,3 +1676,33 @@ def test_temperature_sample_degenerate_groups_cross_engine(spark):
     )
     want = sorted(tuple(r) for r in con.sql(m._temperature_oracle()).fetchall())
     assert got == want
+
+
+def test_bigram_cross_entropy_semantics(spark):
+    """Perplexity-filter semantics: documents matching the LM corpus
+    score the same, low cross-entropy; an out-of-distribution doc
+    scores strictly higher; docs with < 2 words (incl. null/empty
+    text) report (0, 0.0)."""
+    from fs_schema_validator_spark.operators.selection import (
+        bigram_cross_entropy,
+    )
+
+    rows = [
+        ("a", "the cat sat on the mat"),
+        ("b", "the cat sat on the mat"),
+        ("c", "zq xv qq zz pp ww"),
+        ("d", "one"),
+        ("e", None),
+        ("f", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    lm = df.filter("doc_id in ('a', 'b')")
+    out = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy)
+        for r in bigram_cross_entropy(df, lm, n_buckets=16).collect()
+    }
+    assert len(out) == 6
+    assert out["a"] == out["b"] and out["a"][0] == 5
+    assert out["c"][0] == 5 and out["c"][1] > out["a"][1]
+    for z in ("d", "e", "f"):
+        assert out[z] == (0, 0.0)

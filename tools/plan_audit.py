@@ -387,6 +387,17 @@ def main() -> None:
         )
     )
 
+    # bigram LM scoring: pure codegen (no UDF), model tables broadcast,
+    # corpus pair counts partial-agg before any move
+    sections.append(
+        audit(
+            "bigram_xent_scores (hashed-bigram LM, broadcast model)",
+            qs["bigram_xent_scores"](spark, SF_DIR),
+            {"has_broadcast": True, "schema_excludes": "lang",
+             "plan_excludes": "MapInArrow"},
+        )
+    )
+
     md = ["# PLANS — physical-plan audit\n",
           "Generated by `tools/plan_audit.py` at sf0.01 / n=1000 synth.",
           "Expectations are asserted; FAIL lines are plan regressions.\n"]
