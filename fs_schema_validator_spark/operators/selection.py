@@ -152,10 +152,10 @@ def bigram_cross_entropy(
     bigrams; docs with < 2 words report (0, 0.0).
 
     Scale shape: pure codegen SQL — one explode per side into
-    per-(doc, a, b) partial-agg counts; the model is at most B^2 + B
-    rows, broadcast onto the corpus counts; one per-doc rollup. No
-    Python, no UDF."""
-    from .sampling import split_bucket
+    per-(doc, a, b) partial-agg counts (explode_outer sentinels keep
+    zero-bigram docs without a join back to the source); the model is
+    at most B^2 + B rows, cached + broadcast onto the corpus counts;
+    one per-doc rollup. No Python, no UDF."""
 
     def pair_counts(df: DataFrame) -> DataFrame:
         hb = F.transform(
@@ -182,17 +182,28 @@ def bigram_cross_entropy(
                 ),
             )
         )
+        # explode_outer sentinel: a doc with < 2 words keeps one
+        # (id, NULL, NULL) row, so the per-doc rollup never needs a
+        # join back to the source (the _doc_bucket_counts pattern)
         return (
-            df.select(F.col(id_col), F.explode(pairs).alias("p"))
+            df.select(F.col(id_col), F.explode_outer(pairs).alias("p"))
             .select(id_col, "p.a", "p.b")
             .groupBy(id_col, "a", "b")
             .agg(F.count(F.lit(1)).alias("k"))
         )
 
-    cab = (
+    from ..functions.cache import track
+
+    # the tiny (<= B^2-row) pair-count model feeds BOTH broadcast
+    # tables; uncached, ca's derivation would re-run the whole LM-side
+    # explode + hash lineage a second time — tracked like dsir's pdc,
+    # release with functions.cache.release_all() after the action
+    cab = track(
         pair_counts(lm_corpus)
+        .filter(F.col("a").isNotNull())
         .groupBy("a", "b")
         .agg(F.sum("k").alias("cab"))
+        .cache()
     )
     ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
     pdc = pair_counts(corpus)
@@ -205,20 +216,20 @@ def bigram_cross_entropy(
     )
     # two separate left joins: an unseen (a, b) pair still needs C(a)
     # when the CONTEXT bucket was seen, so the context totals cannot
-    # ride the pair-count join
+    # ride the pair-count join; sentinel (NULL, NULL) rows match
+    # neither and contribute 0 to both sums
     scored = (
         pdc.join(F.broadcast(cab), ["a", "b"], "left")
         .join(F.broadcast(ca), "a", "left")
         .withColumn("_lp", logp)
     )
+    real = F.col("a").isNotNull()
     per = scored.groupBy(id_col).agg(
-        F.sum("k").alias("_n"),
-        F.sum(F.col("k") * F.col("_lp")).alias("_s"),
+        F.sum(F.when(real, F.col("k")).otherwise(F.lit(0))).alias("_n"),
+        F.sum(F.when(real, F.col("k") * F.col("_lp"))).alias("_s"),
     )
-    ids = corpus.select(id_col).distinct()
-    out = ids.join(per, id_col, "left")
     n = F.coalesce(F.col("_n"), F.lit(0)).cast("bigint")
-    return out.select(
+    return per.select(
         id_col,
         n.alias("n_bigrams"),
         F.when(

@@ -1706,3 +1706,39 @@ def test_bigram_cross_entropy_semantics(spark):
     assert out["c"][0] == 5 and out["c"][1] > out["a"][1]
     for z in ("d", "e", "f"):
         assert out[z] == (0, 0.0)
+
+
+def test_bigram_xent_oracle_agrees_on_null_and_empty_text(spark, tmp_path):
+    """Cross-engine: the REAL driver query vs the REAL oracle SQL on a
+    hostile fixture — null text, empty text, one-word docs, and a null
+    text INSIDE the LM set (doc_id % 25 == 0)."""
+    import importlib.util
+
+    import duckdb
+
+    rows = [(i, f"w{i % 7} common text w{i % 5} tail") for i in range(40)]
+    rows += [(50, None), (75, ""), (77, "solo"), (100, None)]  # 50,75,100 in LM
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(path)
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod4", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    got = sorted(
+        tuple(r)
+        for r in m.bigram_xent_scores(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    # Spark writes a DIRECTORY of part files — glob it for DuckDB
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(m._bigram_xent_oracle()).fetchall())
+    assert got == want
+    by_id = {v[0]: v for v in got}
+    for deg in (50, 75, 77, 100):
+        assert by_id[deg][1:] == (0, 0.0)
