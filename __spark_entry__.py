@@ -1183,11 +1183,6 @@ def _seq_window_sql(
     each term < 2^47, the k-term sum < 2^50: BIGINT-safe; tokens are
     non-negative so DuckDB's truncating %% equals the kernel's
     floor-mod)."""
-    powers = [pow(base, k - 1 - t, mod) for t in range(k)]
-    seed_pk = seed * pow(base, k, mod) % mod
-    terms = " + ".join(
-        f"((i*31 + (j0+{t})*7) % vocab) * {powers[t]}" for t in range(k)
-    )
     ctes = f"""base AS (
   SELECT i, printf('doc-%08d', i) AS doc_id,
          CAST(1 + (i % 512) AS INT) AS n_tok,
@@ -1201,9 +1196,23 @@ def _seq_window_sql(
 )"""
     win_expr = (
         f"unnest(list_transform(range(0, n_tok - {k - 1}), "
-        f"j0 -> ({seed_pk} + {terms}) % {mod}))"
+        f"j0 -> {_window_hash_expr(k, base, mod, seed)}))"
     )
     return ctes, win_expr
+
+
+def _window_hash_expr(k: int, base: int, mod: int, seed: int) -> str:
+    """The closed-form k-window hash as a scalar SQL expression over
+    columns/vars i, vocab and the window start j0 — usable either as a
+    list_transform lambda body (_seq_window_sql) or over an unnested j0
+    column (the span-removal oracle, which needs j0 alongside the
+    hash)."""
+    powers = [pow(base, k - 1 - t, mod) for t in range(k)]
+    seed_pk = seed * pow(base, k, mod) % mod
+    terms = " + ".join(
+        f"((i*31 + (j0+{t})*7) % vocab) * {powers[t]}" for t in range(k)
+    )
+    return f"({seed_pk} + {terms}) % {mod}"
 
 
 def _contamination_inputs(
@@ -1382,6 +1391,16 @@ def token_ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     even where 31-bit hashes collide, because they compute the same
     hash."""
     from fs_schema_validator_spark.operators import dedup
+
+    return dedup.token_ngram_dup_stats(_ngram_corpus(spark), k=_NGRAM_K)
+
+
+def _ngram_corpus(spark: SparkSession) -> DataFrame:
+    """The shared token-dedup fixture: 400 generated docs + every 20th
+    doc re-planted under a 'dup-' id (guaranteed cross-doc window dups)
+    + the two degenerate zero-window rows. token_ngram_dup_stats
+    (measurement) and token_ngram_dedup_clean (rewrite) screen the
+    identical corpus so their oracles share the replay CTEs."""
     from fs_schema_validator_spark.sources import synth
 
     base = synth.gen_sequences(spark, _NGRAM_N)
@@ -1392,10 +1411,94 @@ def token_ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         "source",
     )
-    corpus = base.unionByName(planted).unionByName(
+    return base.unionByName(planted).unionByName(
         _degenerate_sequences(spark)
     )
-    return dedup.token_ngram_dup_stats(corpus, k=_NGRAM_K)
+
+
+def token_ngram_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN removal (dedup.token_ngram_dedup) over the same
+    corpus token_ngram_dup_stats measures: every token position covered
+    by a cross-doc-duplicated k-window is cut and the sliced sequence
+    re-emitted. The planted 'dup-' docs and their originals are fully
+    erased (every window duplicated); same-source stream collisions
+    produce partial cuts; the degenerate rows pass through. The cleaned
+    token array is serialized for the driver canonicalizer (md5 of the
+    comma-joined tokens — complex output columns hard-fail the gate);
+    the oracle replays the generator, the closed-form window hash, the
+    span union, and the same serialization."""
+    from fs_schema_validator_spark.operators import dedup
+
+    out = dedup.token_ngram_dedup(_ngram_corpus(spark), k=_NGRAM_K)
+    toks = F.col("tokens_clean")
+    return out.select(
+        "doc_id",
+        F.size(toks).alias("n_clean"),
+        F.col("n_removed"),
+        F.md5(
+            F.array_join(F.transform(toks, lambda t: t.cast("string")), ",")
+        ).alias("clean_md5"),
+    )
+
+
+def _token_span_dedup_oracle(
+    n: int = _NGRAM_N,
+    k: int = _NGRAM_K,
+    base: int = 1000003,
+    mod: int = 2147483647,
+    seed: int = 7,
+) -> str:
+    """DuckDB replay of token_ngram_dedup_clean: window hashes with
+    their start positions (the scalar _window_hash_expr over an
+    unnested j0), >= 2-instance hashes, covered-position union via a
+    constant-range expansion [j0, j0+k), anti-join to keep the
+    uncovered tokens, regenerate values, serialize identically."""
+    ctes, _ = _seq_window_sql(n, k, base, mod, seed)
+    h_expr = _window_hash_expr(k, base, mod, seed)
+    return f"""
+WITH {ctes}, corpus AS (
+  SELECT doc_id, i, n_tok, vocab FROM v
+  UNION ALL
+  SELECT printf('dup-%08d', i), i, n_tok, vocab FROM v WHERE i % 20 = 0
+), wh AS (
+  SELECT doc_id, i, vocab, j0, {h_expr} AS h
+  FROM (SELECT doc_id, i, n_tok, vocab,
+               unnest(range(0, n_tok - {k - 1})) AS j0
+        FROM corpus WHERE n_tok >= {k})
+), pdc AS (
+  SELECT doc_id, h FROM wh GROUP BY doc_id, h
+), dup AS (
+  SELECT h FROM pdc GROUP BY h HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, {k}), t -> j0 + t)) AS j
+  FROM wh WHERE h IN (SELECT h FROM dup)
+), toks AS (
+  SELECT doc_id, i, vocab, unnest(range(0, n_tok)) AS j FROM corpus
+), kept AS (
+  SELECT t.doc_id, t.j, ((i*31 + t.j*7) % vocab) AS tok
+  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j
+  WHERE c.j IS NULL
+), per AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(CAST(tok AS VARCHAR), ',' ORDER BY j) AS s
+  FROM kept GROUP BY doc_id
+), ids AS (
+  SELECT doc_id, n_tok FROM corpus
+  UNION ALL SELECT 'deg-null', NULL UNION ALL SELECT 'deg-short', 3
+)
+SELECT ids.doc_id,
+       CAST(CASE WHEN ids.doc_id = 'deg-null' THEN NULL
+                 WHEN ids.doc_id = 'deg-short' THEN 3
+                 ELSE coalesce(n_kept, 0) END AS INT) AS n_clean,
+       CAST(CASE WHEN ids.doc_id IN ('deg-null', 'deg-short') THEN 0
+                 ELSE ids.n_tok - coalesce(n_kept, 0) END AS INT)
+           AS n_removed,
+       CASE WHEN ids.doc_id = 'deg-null' THEN NULL
+            WHEN ids.doc_id = 'deg-short' THEN md5('1,2,3')
+            ELSE md5(coalesce(s, '')) END AS clean_md5
+FROM ids LEFT JOIN per USING (doc_id)
+"""
 
 
 def _token_ngram_oracle(
@@ -1475,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": rolling_fingerprints,
         "dedup_exact_groups": dedup_exact_groups,
         "token_ngram_dup_stats": token_ngram_dup_stats,
+        "token_ngram_dedup_clean": token_ngram_dedup_clean,
         "simhash_sigs": simhash_sigs,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
@@ -2145,6 +2249,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM v GROUP BY subject"
         ),
         "token_ngram_dup_stats": _token_ngram_oracle(),
+        "token_ngram_dedup_clean": _token_span_dedup_oracle(),
         "bigram_xent_scores": _bigram_xent_oracle(),
         "token_ngram_contamination": _token_contamination_oracle(),
         "contamination_screen": (

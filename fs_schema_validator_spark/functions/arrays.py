@@ -632,6 +632,146 @@ def token_window_pair_counts_arrow(
     return src.mapInArrow(compute, out_schema)
 
 
+def token_span_dedup_kernel(
+    tokens: pa.Array,
+    dup_hs: pa.Array,
+    k: int,
+    base: int = 1000003,
+    mod: int = 2147483647,
+    seed: int = 7,
+) -> tuple[pa.ListArray, np.ndarray]:
+    """(tokens_clean, n_removed) — cut every token position covered by a
+    duplicated k-window.
+
+    `dup_hs` is the per-row list of this document's window hashes that
+    are globally duplicated (computed upstream from the pair-count
+    aggregate). The kernel recomputes the row's window hashes
+    (token_window_hash_kernel — same closed form, bit-identical), marks
+    each window whose hash is in the row's dup set, takes the union of
+    the covered token ranges [j, j+k) (overlapping spans merge via a
+    +1/-1 boundary-delta cumsum — no per-span loop), and emits the
+    tokens OUTSIDE the union plus the removed-position count.
+
+    Per-row degradation: a null token list -> (null, 0); a list shorter
+    than k or containing null tokens -> no windows, passthrough
+    unchanged with 0 removed (child nulls are preserved — they are a
+    validation finding for the F3 family, not this operator's to
+    scrub); a null/empty dup set -> passthrough."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    wins = token_window_hash_kernel(tokens, k, base, mod, seed)
+
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    t_starts = offsets[:-1] - (offsets[0] if len(offsets) else 0)
+    t_lens = offsets[1:] - offsets[:-1]
+    child = tokens.values
+    if len(offsets):
+        child = child.slice(offsets[0], offsets[-1] - offsets[0])
+    if tokens.null_count:
+        t_ok = np.asarray(tokens.is_valid())
+    else:
+        t_ok = np.ones(len(tokens), dtype=bool)
+    n = len(t_starts)
+
+    ws, wl, wv, _ = _list_views(wins)
+    ds, dl, dv, d_ok = _list_views(dup_hs)
+    dl = np.where(d_ok, dl, 0)
+
+    row_of_tok = np.repeat(np.arange(n), t_lens)
+    # tokens belonging to NULL rows never reach the output child, even if
+    # a malformed writer gave the null row a nonzero offset extent
+    keep = t_ok[row_of_tok]
+
+    total_w = int(wl.sum())
+    if total_w and dl.sum():
+        w_row = np.repeat(np.arange(n), wl)
+        d_row = np.repeat(np.arange(n), dl)
+        # pack (row, hash) into one uint64 key: hashes are < mod <= 2^31
+        W = (w_row.astype(np.uint64) << np.uint64(32)) | wv.astype(
+            np.uint64
+        )
+        total_d = int(dl.sum())
+        d_cum = np.cumsum(dl) - dl
+        d_pos = np.arange(total_d) - np.repeat(d_cum, dl)
+        d_flat = dv[np.repeat(ds, dl) + d_pos]
+        if d_flat.dtype.kind == "f":  # defensive: child nulls -> NaN
+            d_flat = np.nan_to_num(d_flat, nan=-1.0)
+        d_flat = d_flat.astype(np.int64)
+        good_d = (d_flat >= 0) & (d_flat < np.int64(mod))
+        D = (d_row[good_d].astype(np.uint64) << np.uint64(32)) | d_flat[
+            good_d
+        ].astype(np.uint64)
+        hit = np.isin(W, D)
+        hit_idx = np.nonzero(hit)[0]
+        if len(hit_idx):
+            rows_h = w_row[hit_idx]
+            pos_h = hit_idx - ws[rows_h]
+            # window j covers tokens [j, j+k); j+k <= row length by
+            # construction, so a span never crosses a row boundary and
+            # one global cumsum merges overlaps within every row at once
+            flat_start = t_starts[rows_h] + pos_h
+            delta = np.zeros(int(t_lens.sum()) + 1, dtype=np.int64)
+            np.add.at(delta, flat_start, 1)
+            np.add.at(delta, flat_start + k, -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            keep &= ~covered
+
+    kept_per_row = np.bincount(
+        row_of_tok[keep], minlength=n
+    ).astype(np.int64)
+    n_removed = np.where(t_ok, t_lens - kept_per_row, 0).astype(np.int32)
+    new_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(kept_per_row, out=new_offsets[1:])
+    clean = pa.ListArray.from_arrays(
+        pa.array(new_offsets, type=pa.int64()).cast(pa.int32()),
+        child.filter(pa.array(keep)) if n else child,
+        mask=pa.array(~t_ok),
+    )
+    return clean, n_removed
+
+
+def token_span_dedup_arrow(
+    df: DataFrame,
+    tokens_col: str,
+    dup_col: str,
+    id_col: str = "doc_id",
+    k: int = 8,
+    base: int = 1000003,
+    mod: int = 2147483647,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, tokens_clean, n_removed) — mapInArrow wrapper over
+    token_span_dedup_kernel; `dup_col` carries each row's globally
+    duplicated window hashes (array<bigint>, null when none)."""
+    id_field = df.schema[id_col]
+    tok_field = df.schema[tokens_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        f"tokens_clean {tok_field.dataType.simpleString()}, n_removed int"
+    )
+    src = df.select(
+        F.col(id_col),
+        F.col(tokens_col).alias("_t"),
+        F.col(dup_col).alias("_d"),
+    )
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            clean, nrem = token_span_dedup_kernel(
+                batch.column("_t"), batch.column("_d"), k, base, mod, seed
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    clean,
+                    pa.array(nrem, type=pa.int32()),
+                ],
+                names=[id_col, "tokens_clean", "n_removed"],
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
 def simhash_kernel(h: pa.Array, bits: int = 60) -> np.ndarray:
     """(rows,) SimHash signatures from per-row word-hash lists.
 

@@ -734,6 +734,81 @@ def token_ngram_dup_stats(
     )
 
 
+def token_ngram_dedup(
+    df: DataFrame,
+    k: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    base: int = 1000003,
+    mod: int = 2147483647,
+    seed: int = 7,
+) -> DataFrame:
+    """Duplicate-SPAN REMOVAL — the rewrite stage of token-level exact
+    k-gram dedup (the output a training pipeline actually feeds to the
+    packer, in the spirit of Lee et al. 2022, arXiv:2107.06499):
+    every token position covered by a window whose k-gram hash occurs in
+    >= `min_docs` document ROW INSTANCES is cut, overlapping spans are
+    merged, and the sliced sequence is emitted.
+
+    Returns one row per INPUT ROW: (id, tokens_clean, n_removed).
+    Zero-window rows (null list / child nulls / shorter than k) pass
+    through unchanged with n_removed = 0 (a null list stays null).
+    Semantics are symmetric, not keep-one: ALL instances of a duplicated
+    window are cut (exact full-row duplicates therefore erase each
+    other) — the deterministic, order-free contract; a keep-one policy
+    composes as exact_duplicates keep-first BEFORE this operator.
+    Duplication counts match token_ngram_dup_stats: `n_docs` counts
+    row instances carrying the hash (a doc_id spanning two rows
+    contributes twice), so `n_removed > 0` exactly where that operator
+    reports `n_dup_windows > 0`.
+
+    Scale shape: two passes of the O(n) Rabin-Karp window kernel over
+    the corpus (recomputing beats materializing the full window stream —
+    the token_ngram_dup_stats measurement) with only compact relations
+    shuffling between them: the per-(doc, distinct-hash) pair stream
+    aggregates to a count-per-hash table (map-side partials), the
+    >= min_docs hashes semi-join back onto the pair stream (h-keyed, AQE
+    broadcasts when duplication is rare), the per-doc dup-hash sets
+    collapse to one array row per affected doc, and ONE doc-keyed join
+    attaches them to the corpus for the rewrite kernel — broadcast when
+    few docs are affected, shuffle otherwise (the rewrite output is
+    O(corpus) regardless, so the join never dominates). Span merging is
+    a boundary-delta cumsum inside the Arrow kernel — no pairwise span
+    logic, no Python loops."""
+    from ..functions.arrays import (
+        token_span_dedup_arrow,
+        token_window_pair_counts_arrow,
+    )
+
+    pdc = token_window_pair_counts_arrow(
+        df, tokens_col, id_col, k=k, base=base, mod=mod, seed=seed
+    )
+    real = pdc.filter(F.col("h") >= 0)
+    dup_hashes = (
+        real.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    per_doc = (
+        real.join(dup_hashes, "h", "leftsemi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("h")).alias("_dup_hs"))
+    )
+    src = df.select(id_col, tokens_col).join(per_doc, id_col, "left")
+    return token_span_dedup_arrow(
+        src,
+        tokens_col,
+        "_dup_hs",
+        id_col=id_col,
+        k=k,
+        base=base,
+        mod=mod,
+        seed=seed,
+    )
+
+
 def token_ngram_contamination(
     corpus: DataFrame,
     bench: DataFrame,

@@ -1519,6 +1519,94 @@ def test_token_ngram_dup_stats_oracle_parity():
     assert got == want
 
 
+def test_token_ngram_dedup_hand_computed_spans(spark):
+    """Span-removal golden, k=2, spans worked out by hand:
+    dup windows are (1,2) {A,C} and (2,3) {A,B}. A's covered union is
+    [0,2)∪[1,3) = [0,3) (overlap merge), leaving [4,5]; B loses [1,3);
+    C loses [0,2); degenerate rows pass through untouched."""
+    from fs_schema_validator_spark.operators.dedup import token_ngram_dedup
+
+    rows = [
+        ("A", [1, 2, 3, 4, 5]),
+        ("B", [9, 2, 3, 7]),
+        ("C", [1, 2, 9]),
+        ("N", None),
+        ("S", [5]),                 # shorter than k
+        ("X", [1, None, 3]),        # child null -> no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {
+        r.doc_id: (r.tokens_clean, r.n_removed)
+        for r in token_ngram_dedup(df, k=2).collect()
+    }
+    assert out["A"] == ([4, 5], 3)
+    assert out["B"] == ([9, 7], 2)
+    assert out["C"] == ([9], 2)
+    assert out["N"] == (None, 0)
+    assert out["S"] == ([5], 0)
+    assert out["X"] == ([1, None, 3], 0)
+
+
+def test_token_ngram_dedup_full_erasure_and_dup_stats_consistency(spark):
+    """An exact copy pair erases BOTH instances entirely (symmetric
+    semantics), and n_removed > 0 exactly where token_ngram_dup_stats
+    reports n_dup_windows > 0 on the same corpus."""
+    from fs_schema_validator_spark.operators.dedup import (
+        token_ngram_dedup,
+        token_ngram_dup_stats,
+    )
+
+    rows = [
+        ("a", list(range(20))),
+        ("b", list(range(20))),
+        ("c", [100 + 17 * i for i in range(20)]),
+        ("d", list(range(8)) + [999 - i for i in range(7)]),
+        ("g", [5] * 30),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    cleaned = {
+        r.doc_id: (r.tokens_clean, r.n_removed)
+        for r in token_ngram_dedup(df, k=8).collect()
+    }
+    assert cleaned["a"] == ([], 20)
+    assert cleaned["b"] == ([], 20)
+    assert cleaned["c"][1] == 0
+    # d shares exactly its first window [0..8) with a/b
+    assert cleaned["d"] == ([999 - i for i in range(7)], 8)
+    assert cleaned["g"][1] == 0  # intra-doc repeats are not cross-doc dups
+    stats = {
+        r.doc_id: r.n_dup_windows
+        for r in token_ngram_dup_stats(df, k=8).collect()
+    }
+    for doc, (_, n_removed) in cleaned.items():
+        assert (n_removed > 0) == (stats[doc] > 0), doc
+
+
+def test_token_ngram_dedup_clean_oracle_parity():
+    """Cross-engine: the REAL driver query vs its REAL DuckDB oracle
+    (generator + positional window-hash + span-union replay)."""
+    import duckdb
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    from fs_schema_validator_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    got = sorted(
+        tuple(r)
+        for r in m.token_ngram_dedup_clean(spark, "unused").collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r) for r in con.sql(m._token_span_dedup_oracle()).fetchall()
+    )
+    assert got == want
+
+
 def test_semantic_dedup_kernel_duplicate_id_wrong_dim_sibling(spark):
     """Regression: a DUPLICATED id whose sibling row has a wrong (longer)
     dimension must not crash the cell kernel — the join back that
