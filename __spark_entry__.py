@@ -1510,7 +1510,14 @@ def _token_ngram_oracle(
 ) -> str:
     """DuckDB replay of token_ngram_dup_stats over the shared
     generator-replay + closed-form window-hash blocks
-    (_seq_window_sql)."""
+    (_seq_window_sql).
+
+    Caveat: the engine's global hash counts are per document ROW
+    INSTANCE while this replay's `pdc` groups by doc_id first — they
+    agree only because _ngram_corpus emits each doc_id exactly once (a
+    corpus with one doc_id on two rows would count n_docs=2 in the
+    engine, 1 here). Keep the fixture's ids unique or replay
+    instance-level counts."""
     ctes, win_expr = _seq_window_sql(n, k, base, mod, seed)
     return f"""
 WITH {ctes}, corpus AS (
@@ -1853,9 +1860,11 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10
 # 16 smallest base ids; the planted copies' ids are negative so the
 # non-negative seed window is unchanged at any scale), then uncapped
 # within-cell ordered pairs, exact cosine on round-5 doubles, keep-first
-# dup flags. The len(embedding) = 64 guard mirrors ivf_assign_arrow's
-# NULL cell for null / wrong-dimension vectors (none at these SFs, but
-# fixtures exercise it). The cent CTE replicates the engine's seed
+# dup flags. The len(embedding) = 64 guard and the vn zero-norm filter
+# mirror ivf_assign_arrow's NULL cell for null / wrong-dimension /
+# zero-norm vectors (none at these SFs, but fixtures exercise it) — a
+# zero vector is ineligible everywhere, so the kernel's cosine-0, the
+# pairs strategy's null, and DuckDB's NaN can never disagree. The cent CTE replicates the engine's seed
 # sample EXACTLY: 32-smallest-id window first, THEN the dimension
 # filter, then the first 16 — so a window short on 64-dim rows yields
 # the same (fewer) seeds in both engines; the only remaining fixture
@@ -1879,12 +1888,16 @@ cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
 cn AS (SELECT cell, sqrt(sum(CAST(embedding[i] AS DOUBLE)
                              * CAST(embedding[i] AS DOUBLE))) AS nrm
        FROM cent, generate_series(1, 64) g(i) GROUP BY cell),
+vn AS (SELECT vec_id FROM corpus, generate_series(1, 64) g(i)
+       WHERE embedding IS NOT NULL AND len(embedding) = 64
+       GROUP BY vec_id
+       HAVING sum(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE)) > 0),
 cdot AS (SELECT e.vec_id, c.cell,
                 sum(CAST(e.embedding[i] AS DOUBLE)
                     * CAST(c.embedding[i] AS DOUBLE)) AS dot_vc
-         FROM corpus e CROSS JOIN cent c,
+         FROM corpus e JOIN vn USING (vec_id) CROSS JOIN cent c,
               generate_series(1, 64) g(i)
-         WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
          GROUP BY e.vec_id, c.cell),
 scored AS (SELECT vec_id, cdot.cell, dot_vc / nrm AS sim
            FROM cdot JOIN cn USING (cell)),
@@ -1946,14 +1959,24 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 _ANN_IVF_ORACLE = """
 WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                      embedding
-              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+              FROM (SELECT * FROM (
+                      SELECT * FROM embeddings
+                      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+                      ORDER BY vec_id LIMIT 32)
+                    WHERE len(embedding) = 64
+                    ORDER BY vec_id LIMIT 16)),
 cn AS (SELECT cell, sqrt(sum(CAST(embedding[i] AS DOUBLE)
                              * CAST(embedding[i] AS DOUBLE))) AS nrm
        FROM cent, generate_series(1, 64) g(i) GROUP BY cell),
+vn AS (SELECT vec_id FROM embeddings, generate_series(1, 64) g(i)
+       WHERE embedding IS NOT NULL AND len(embedding) = 64
+       GROUP BY vec_id
+       HAVING sum(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE)) > 0),
 cdot AS (SELECT e.vec_id, c.cell,
                 sum(CAST(e.embedding[i] AS DOUBLE)
                     * CAST(c.embedding[i] AS DOUBLE)) AS dot_vc
-         FROM embeddings e CROSS JOIN cent c,
+         FROM embeddings e JOIN vn USING (vec_id) CROSS JOIN cent c,
               generate_series(1, 64) g(i)
          GROUP BY e.vec_id, c.cell),
 scored AS (SELECT vec_id, cdot.cell, dot_vc / nrm AS sim

@@ -893,8 +893,11 @@ def ivf_assign_arrow(
 
     The centroid matrix is tiny (n_centroids × dim) and ships to workers
     inside the serialized kernel closure — the moral equivalent of a
-    broadcast variable. Null/short vectors get a NULL cell (excluded from
-    every probe) instead of a garbage assignment."""
+    broadcast variable. Null/short/zero-norm vectors get a NULL cell
+    (excluded from every probe) instead of a garbage assignment — a zero
+    vector has no direction, so cosine against it is undefined; treating
+    it as ineligible keeps the kernel, the pairs strategy, and the SQL
+    oracles on one contract instead of three (0 vs NaN vs null)."""
     cn = centroids.astype(np.float64)
     cnorm = np.linalg.norm(cn, axis=1, keepdims=True)
     cnorm[cnorm == 0] = 1.0  # a zero centroid must not NaN-poison argmax
@@ -908,6 +911,7 @@ def ivf_assign_arrow(
         for batch in batches:
             mat, good = _fixed_dim_matrix(batch.column("_v"), dim)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            good &= norms.ravel() > 0.0
             norms[norms == 0] = 1.0
             cell = np.argmax((mat / norms) @ cn.T, axis=1).astype(np.int32)
             out = pa.array(
@@ -959,8 +963,10 @@ def ivf_partial_sums_kernel(
 ) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
     """(live_cells int32, counts int64, sums rows×dim) for one Arrow batch:
     nearest-centroid assignment by normalized dot, skipping null/short
-    rows; zero-norm centroids and zero vectors are guarded (a NaN row
-    would win every argmax and collapse assignments into one dead cell)."""
+    AND zero-norm rows (same ineligibility contract as ivf_assign_arrow —
+    a directionless vector must not vote in a cosine quantizer); zero-norm
+    centroids are guarded (a NaN row would win every argmax and collapse
+    assignments into one dead cell)."""
     cn = centroids.astype(np.float64)
     cnorm = np.linalg.norm(cn, axis=1, keepdims=True)
     cnorm[cnorm == 0] = 1.0
@@ -968,6 +974,7 @@ def ivf_partial_sums_kernel(
     dim = cn.shape[1]
     n_cent = cn.shape[0]
     mat, good = _fixed_dim_matrix(arr, dim)
+    good &= np.linalg.norm(mat, axis=1) > 0.0
     empty = np.array([], dtype=np.int32)
     if not good.any():
         return empty, np.array([], dtype=np.int64), np.zeros((0, dim))

@@ -668,7 +668,9 @@ def token_ngram_dup_stats(
     tokens-column sibling of the text dedup family, in the spirit of
     exact-substring training-data dedup (Lee et al. 2022,
     arXiv:2107.06499): a window is *duplicated* when its k-token hash
-    occurs in >= `min_docs` DISTINCT documents.
+    occurs in >= `min_docs` document ROW INSTANCES (each input row is
+    one instance — an id spanning two rows contributes 2, not 1; see
+    below).
 
     Returns one row per DISTINCT id: (id, n_windows, n_dup_windows,
     dup_rate) with dup_rate = round(n_dup/n_windows, digits). Rows whose

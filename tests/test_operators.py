@@ -1352,6 +1352,10 @@ def test_semantic_dedup_oracle_agrees_on_null_and_wrong_dim(spark, tmp_path):
     rows = [(i, _vec(i)) for i in range(36)]
     rows += [(40, None), (41, [0.5] * 3)]   # 40 % 20 == 0: planted-null copy
     rows += [(None, _vec(3))]               # null id, valid vector
+    # zero-norm contract: a directionless vector is ineligible like
+    # null/wrong-dim (kernel cosine-0, pairs-null, and DuckDB NaN would
+    # otherwise three-way diverge); 60 % 20 == 0 exercises its copy too
+    rows += [(42, [0.0] * 64), (60, [0.0] * 64)]
     emb = spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>"
     )
@@ -1385,6 +1389,9 @@ def test_semantic_dedup_oracle_agrees_on_null_and_wrong_dim(spark, tmp_path):
     assert by_id[-41] == (None, False)            # copy of the null vec
     assert by_id[41] == (None, False)             # wrong-dim vec
     assert by_id[None] == (None, False)           # null id: masked cell
+    assert by_id[42] == (None, False)             # zero-norm vec: no cell
+    assert by_id[60] == (None, False)             # zero-norm at a copy id
+    assert by_id[-61] == (None, False)            # its planted zero copy
     # the null-id duplicate of vec 3 must not flag vec 3
     assert not by_id[3][1]
 
