@@ -1095,6 +1095,68 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection.dsir_importance(docs, target, n_buckets=256, alpha=1.0)
 
 
+# classifier_scores' model parameters — shared by the Spark query and
+# the oracle so a one-sided tuning cannot silently diverge the gate
+_CLF_BUCKETS = 512
+_CLF_BIAS = -0.25
+
+
+def _clf_weights(spark: SparkSession) -> DataFrame:
+    """The fixture's 'trained' model: one deterministic weight per
+    bucket in [-1, 1] from a Knuth-multiplier mix of the bucket id (a
+    real pipeline loads the offline-trained table from parquet; the gate
+    needs a model both engines can synthesize exactly)."""
+    return spark.range(_CLF_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            ((F.col("id") * 2654435761) % 1000003) % 2001 / 1000.0 - 1.0
+        ).alias("w"),
+    )
+
+
+def classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier inference
+    (selection.classifier_score): hashed unigram+bigram bag, broadcast
+    weight table, sigmoid of the mean feature weight — the classifier
+    leg of the CCNet / DSIR / classifier selection triad."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return selection.classifier_score(
+        docs,
+        _clf_weights(spark),
+        n_buckets=_CLF_BUCKETS,
+        bias=_CLF_BIAS,
+    )
+
+
+def _clf_oracle(n_buckets: int = _CLF_BUCKETS, bias: float = _CLF_BIAS) -> str:
+    """Classifier replay: portable 'clf'-salted 60-bit hash of unigrams
+    and space-joined bigrams into n_buckets, the same synthesized weight
+    table, sigmoid of bias + mean k·w (every aggregated term a function
+    of integer counts and the deterministic weight formula, so only fp
+    addition order differs — the dsir_score precedent)."""
+    return f"""
+WITH tok AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+feat AS (
+  SELECT doc_id, u AS f FROM tok, UNNEST(ws) AS t(u)
+  UNION ALL
+  SELECT doc_id, u AS f
+  FROM tok, UNNEST(list_transform(range(2, len(ws) + 1),
+                                  i -> ws[i - 1] || ' ' || ws[i])) AS t(u)
+),
+bf AS (SELECT doc_id, {_hex15("'clf' || f")} % {n_buckets} AS b FROM feat),
+pdc AS (SELECT doc_id, b, count(*) AS k FROM bf GROUP BY doc_id, b),
+wts AS (SELECT b, ((b * 2654435761) % 1000003) % 2001 / 1000.0 - 1.0 AS w
+        FROM generate_series(0, {n_buckets - 1}) g(b)),
+per AS (SELECT doc_id, sum(k) AS n, sum(k * w) AS s
+        FROM pdc JOIN wts ON pdc.b = wts.b GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(per.n, 0) AS BIGINT) AS n_features,
+       round(1.0 / (1.0 + exp(-({bias!r} +
+             CASE WHEN coalesce(per.n, 0) > 0 THEN per.s / per.n
+                  ELSE 0.0 END))), 4) AS clf_score
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 def bigram_xent_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity quality filter
     (selection.bigram_cross_entropy): every document's cross-entropy
@@ -1646,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_threshold_violations": stats_threshold_violations,
         "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
         "sessionize_events": sessionize_events,
+        "classifier_scores": classifier_scores,
     }
 
 
@@ -2440,6 +2503,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _ANN_IVF_ORACLE,
         "semantic_dup_flags": _SEMANTIC_DUP_ORACLE,
         "dsir_importance_weights": _dsir_oracle(),
+        "classifier_scores": _clf_oracle(),
         "bucketed_join_stats": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
             "round(sum(o_totalprice), 4) AS sum_price "

@@ -9,6 +9,11 @@ per-token log-likelihood ratios log p_target(b) − log p_corpus(b).
 High-scoring documents look like the target domain; selection is a filter
 or weighted sample on the score.
 
+``classifier_score`` completes the selection triad (CCNet perplexity /
+DSIR importance / quality classifier): fastText-style linear-model
+inference over hashed word unigrams + bigrams with a broadcast weight
+table — the "trained classifier" stage of GPT-3-style quality filtering.
+
 Everything is pure Spark SQL expressions over one explode (whole-stage
 codegen, no UDF). The corpus is tokenized and hashed ONCE into a cached
 per-(doc, bucket) count table; the global bucket counts, the broadcast
@@ -124,6 +129,106 @@ def dsir_importance(
         F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_words"),
         F.coalesce(F.round(F.col("_s"), digits), F.lit(0.0)).alias(
             "dsir_score"
+        ),
+    )
+
+
+def classifier_score(
+    corpus: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    bias: float = 0.0,
+    word_ngrams: int = 2,
+    salt: str = "clf",
+    digits: int = 4,
+) -> DataFrame:
+    """(id, n_features, clf_score) — fastText-style linear quality
+    classifier INFERENCE (Joulin et al. 2016, arXiv:1607.01759; the
+    quality-filter stage of CCNet/GPT-3-style pipelines): each document
+    is a hashed bag of word unigrams (+ word bigrams when
+    ``word_ngrams=2``, fastText's wordNgrams), the logit is the mean
+    feature weight plus a bias, and the score is its sigmoid.
+
+        logit(d) = bias + (1/n) Σ_features k_f · w[bucket(f)]
+        clf_score = round(1 / (1 + exp(-logit)), digits)
+
+    ``weights`` is the trained model: a (bucket bigint, w double) table
+    of at most ``n_buckets`` rows (trained offline — logistic regression
+    over the same hashed features — or synthesized for fixtures). It is
+    broadcast; features whose bucket is absent weigh 0. Documents with
+    no features (null/empty text) score sigmoid(bias) with
+    n_features = 0. Bigram feature strings are the two words joined by a
+    single space — unigrams never contain whitespace, so the feature
+    namespaces cannot alias.
+
+    Scale shape (the dsir_importance sibling): pure codegen — tokenize +
+    hash once, one explode into per-(doc, bucket) counts collapsed by
+    map-side partial aggregation (≤ n_buckets+1 surviving rows per doc),
+    one broadcast join against the ≤n_buckets-row model, one per-doc
+    rollup. No UDF, no Python in the hot path; the bucket hash is the
+    engine-portable md5 prefix so a SQL oracle replays scores exactly up
+    to fp addition order."""
+    if word_ngrams not in (1, 2):
+        raise ValueError(f"word_ngrams must be 1 or 2, got {word_ngrams}")
+    empty_s = F.array().cast("array<string>")
+    # bind the token array ONCE via the 1-element-array trick —
+    # referencing the tokenize expression inside per-element lambdas
+    # would inline it per feature (CollapseProject)
+    feats = F.flatten(
+        F.transform(
+            F.array(words(F.lower(F.col(text_col)))),
+            lambda t: F.concat(
+                t,
+                (
+                    F.when(
+                        F.size(t) >= 2,
+                        F.transform(
+                            # guarded: sequence(2, 1) DESCENDS in Spark
+                            F.sequence(F.lit(2), F.size(t)),
+                            lambda i: F.concat(
+                                F.element_at(t, i - 1),
+                                F.lit(" "),
+                                F.element_at(t, i),
+                            ),
+                        ),
+                    ).otherwise(empty_s)
+                    if word_ngrams == 2
+                    else empty_s
+                ),
+            ),
+        )
+    )
+    # explode_outer sentinel: a featureless doc keeps one (id, NULL)
+    # row, so the rollup needs no join back (the _doc_bucket_counts
+    # pattern); split_bucket propagates NULL to a NULL bucket
+    counts = (
+        corpus.select(F.col(id_col), F.explode_outer(feats).alias("_f"))
+        .select(
+            id_col,
+            split_bucket(F.col("_f"), n_buckets, salt=salt).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    scored = counts.join(F.broadcast(weights), "bucket", "left")
+    real = F.col("bucket").isNotNull()
+    per = scored.groupBy(id_col).agg(
+        F.sum(F.when(real, F.col("k")).otherwise(F.lit(0))).alias("_n"),
+        F.sum(
+            F.when(real, F.col("k") * F.coalesce(F.col("w"), F.lit(0.0)))
+        ).alias("_s"),
+    )
+    n = F.coalesce(F.col("_n"), F.lit(0)).cast("bigint")
+    logit = F.lit(float(bias)) + F.when(
+        n > 0, F.col("_s") / F.col("_n")
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        id_col,
+        n.alias("n_features"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), digits).alias(
+            "clf_score"
         ),
     )
 

@@ -1431,6 +1431,97 @@ def test_dsir_scores_target_lookalikes_higher(spark):
     assert out[1].n_words == 5 and out[2].n_words == 6
 
 
+def test_classifier_score_hand_computed(spark):
+    """fastText-style inference on a 1-bucket model: every feature hashes
+    to bucket 0 with weight w0, so logit = bias + w0 exactly; a 3-word
+    doc has 3 unigrams + 2 bigrams; null/empty docs score sigmoid(bias)
+    with n_features = 0."""
+    import math
+
+    from fs_schema_validator_spark.operators import selection
+
+    corpus = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd"), (3, None), (4, "")],
+        "doc_id bigint, text string",
+    )
+    weights = spark.createDataFrame([(0, 2.0)], "bucket bigint, w double")
+    out = {
+        r.doc_id: r
+        for r in selection.classifier_score(
+            corpus, weights, n_buckets=1, bias=-1.0
+        ).collect()
+    }
+    sig = lambda x: round(1.0 / (1.0 + math.exp(-x)), 4)  # noqa: E731
+    assert out[1].n_features == 5 and out[1].clf_score == sig(1.0)
+    assert out[2].n_features == 1 and out[2].clf_score == sig(1.0)
+    for d in (3, 4):
+        assert out[d].n_features == 0 and out[d].clf_score == sig(-1.0)
+
+
+def test_classifier_score_unigram_only_and_missing_buckets(spark):
+    """word_ngrams=1 drops the bigram features; a feature whose bucket is
+    absent from the weight table weighs 0 (not null-poisoned)."""
+    from fs_schema_validator_spark.operators import selection
+
+    corpus = spark.createDataFrame(
+        [(1, "aa bb cc")], "doc_id bigint, text string"
+    )
+    empty = spark.createDataFrame([], "bucket bigint, w double")
+    out = selection.classifier_score(
+        corpus, empty, n_buckets=64, bias=0.0, word_ngrams=1
+    ).collect()[0]
+    assert out.n_features == 3          # no bigrams
+    assert out.clf_score == 0.5         # all-zero weights -> sigmoid(0)
+    import pytest
+
+    with pytest.raises(ValueError, match="word_ngrams"):
+        selection.classifier_score(corpus, empty, word_ngrams=3)
+
+
+def test_classifier_oracle_agrees_on_null_and_empty_text(spark, tmp_path):
+    """Cross-engine: REAL driver query vs REAL oracle SQL on a fixture
+    with null, empty, single-word (no bigram), and repeated-word
+    documents."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en"),
+            (2, "the the the", "en"),          # repeated uni+bigrams
+            (3, "solo", "en"),                 # 1 word: no bigram
+            (4, None, "en"),
+            (5, "", "en"),
+            (6, "  ", "en"),                   # whitespace-only
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        tuple(r)
+        for r in entrymod.queries()["classifier_scores"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.sql(entrymod.oracle_sql()["classifier_scores"]).fetchall()
+    }
+    assert got == want
+    by_id = {r[0]: r[1:] for r in got}
+    assert by_id[1][0] == 7             # 4 unigrams + 3 bigrams
+    assert by_id[3][0] == 1
+    for d in (4, 5, 6):
+        assert by_id[d][0] == 0
+
+
 def test_dsir_oracle_agrees_on_null_and_empty_text(spark, tmp_path):
     """Cross-engine: REAL driver query vs REAL oracle SQL on a fixture
     with null and empty documents, including a null doc inside the
