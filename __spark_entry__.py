@@ -1407,10 +1407,123 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py::train_centroids_kmeans). Iterative floating
     fixpoint — no SQL oracle by the driver contract's carve-out for
     iterative algorithms (rows-only check); quality is pinned by tests
-    (inertia drop, recovered means, exact-top-k recall)."""
+    (inertia drop, recovered means, exact-top-k recall). The
+    ann_topk_ivf_kmeans_pinned sibling gives the SAME Lloyd machinery a
+    full value-level gate by pinning the init and iteration count."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk_kmeans(
         emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, probes=4
+    )
+
+
+def ann_topk_ivf_kmeans_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means IVF path under a VALUE-LEVEL gate: id-ordered seed
+    init (the same 32-window/modal-dim sample the plain IVF oracle
+    replays) + exactly 2 Lloyd iterations, so every centroid update is a
+    closed-form per-cell mean and DuckDB replays the whole run — seed,
+    two assignment+update rounds, probe ranking, and the exact top-k —
+    value for value. Frees the iterative carve-out the plain
+    ann_topk_ivf_kmeans ships under."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_kmeans(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=10,
+        n_centroids=16,
+        probes=4,
+        n_iter=2,
+        init="sample",
+    )
+
+
+def _kmeans_pinned_oracle(n_iter: int = 2, probes: int = 4) -> str:
+    """DuckDB replay of ann_topk_ivf_kmeans_pinned: long-form centroids
+    (cell, i, x), each Lloyd iteration = argmax-cosine assignment (the
+    vn CTE keeps null/wrong-dim/zero-norm vectors ineligible, mirroring
+    ivf_partial_sums_kernel) followed by a per-cell mean with empty
+    cells keeping the previous centroid; then the standard IVF probe
+    tail. Every update is a plain aggregate of the pinned seed, so only
+    fp addition order differs from the engine's NumPy partial sums.
+
+    Fixture contract: non-null vec_ids. The engine's training pass never
+    sees ids (ivf_partial_sums_arrow projects the vector column alone),
+    so a null-id row with a valid vector would vote in the engine's
+    centroid means but cannot join back here; candidate sets are
+    null-id-free in both engines either way (left_semi on the id)."""
+    parts = [
+        """vn AS (SELECT vec_id FROM embeddings, generate_series(1, 64) g(i)
+       WHERE embedding IS NOT NULL AND len(embedding) = 64
+         AND vec_id IS NOT NULL
+       GROUP BY vec_id
+       HAVING sum(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE)) > 0)""",
+        """seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   embedding
+            FROM (SELECT * FROM (
+                    SELECT * FROM embeddings
+                    WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+                    ORDER BY vec_id LIMIT 32)
+                  WHERE len(embedding) = 64
+                  ORDER BY vec_id LIMIT 16))""",
+        """c0 AS (SELECT cell, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM seed, generate_series(1, 64) g(i))""",
+    ]
+    prev = "c0"
+    for it in range(n_iter):
+        nxt = f"c{it + 1}"
+        parts.append(
+            f"""n{it} AS (SELECT cell, sqrt(sum(x * x)) AS nrm
+          FROM {prev} GROUP BY cell),
+d{it} AS (SELECT e.vec_id, c.cell,
+                 sum(CAST(e.embedding[c.i] AS DOUBLE) * c.x) AS dp
+          FROM embeddings e JOIN vn USING (vec_id), {prev} c
+          GROUP BY e.vec_id, c.cell),
+a{it} AS (SELECT vec_id, cell FROM (
+            SELECT d.vec_id, d.cell,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY d.dp / n.nrm DESC,
+                                               d.cell ASC) AS rk
+            FROM d{it} d JOIN n{it} n USING (cell)) WHERE rk = 1),
+m{it} AS (SELECT a.cell, g.i,
+                 avg(CAST(e.embedding[g.i] AS DOUBLE)) AS x
+          FROM a{it} a JOIN embeddings e USING (vec_id),
+               generate_series(1, 64) g(i)
+          GROUP BY a.cell, g.i),
+{nxt} AS (SELECT p.cell, p.i, coalesce(m.x, p.x) AS x
+          FROM {prev} p LEFT JOIN m{it} m
+          ON m.cell = p.cell AND m.i = p.i)"""
+        )
+        prev = nxt
+    parts.append(
+        f"""nf AS (SELECT cell, sqrt(sum(x * x)) AS nrm FROM {prev} GROUP BY cell),
+df AS (SELECT e.vec_id, c.cell,
+              sum(CAST(e.embedding[c.i] AS DOUBLE) * c.x) AS dp
+       FROM embeddings e JOIN vn USING (vec_id), {prev} c
+       GROUP BY e.vec_id, c.cell),
+af AS (SELECT vec_id, cell FROM (
+         SELECT d.vec_id, d.cell,
+                row_number() OVER (PARTITION BY d.vec_id
+                                   ORDER BY d.dp / n.nrm DESC,
+                                            d.cell ASC) AS rk
+         FROM df d JOIN nf n USING (cell)) WHERE rk = 1),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (SELECT c.cell, sum(CAST(q.qv[c.i] AS DOUBLE) * c.x) AS dp
+       FROM qv q, {prev} c GROUP BY c.cell),
+qprobe AS (SELECT qd.cell FROM qd JOIN nf USING (cell)
+           ORDER BY qd.dp / nf.nrm DESC, qd.cell ASC LIMIT {probes}),
+cand AS (SELECT vec_id FROM af JOIN qprobe USING (cell)),
+x AS (SELECT e.vec_id, CAST(e.embedding[i] AS DOUBLE) AS a,
+             CAST(q.qv[i] AS DOUBLE) AS b
+      FROM embeddings e JOIN cand USING (vec_id), qv q,
+           generate_series(1, 64) g(i)),
+s AS (SELECT vec_id, round(sum(a * b) /
+             (sqrt(sum(a * a)) * sqrt(sum(b * b))), 5) AS cos
+      FROM x GROUP BY vec_id)"""
+    )
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        "SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10"
     )
 
 
@@ -1709,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
         "sessionize_events": sessionize_events,
         "classifier_scores": classifier_scores,
+        "ann_topk_ivf_kmeans_pinned": ann_topk_ivf_kmeans_pinned,
     }
 
 
@@ -2504,6 +2618,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dup_flags": _SEMANTIC_DUP_ORACLE,
         "dsir_importance_weights": _dsir_oracle(),
         "classifier_scores": _clf_oracle(),
+        "ann_topk_ivf_kmeans_pinned": _kmeans_pinned_oracle(),
         "bucketed_join_stats": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
             "round(sum(o_totalprice), 4) AS sum_price "

@@ -692,11 +692,18 @@ def ivf_topk_kmeans(
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init: str = "spread",
 ) -> DataFrame:
     """ivf_topk with a k-means-trained quantizer: tighter cells than the
     raw deterministic sample, so the same probe budget covers more of the
-    query's true neighborhood (higher recall at equal scan fraction)."""
+    query's true neighborhood (higher recall at equal scan fraction).
+
+    init="sample" (id-ordered seed) with a small fixed n_iter makes the
+    whole run a deterministic closed form — every centroid update is a
+    plain per-cell mean from a pinned start — which is what lets the
+    driver gate replay it value-for-value in SQL; init="spread" keeps
+    the better-covering farthest-point start for production use."""
     centroids = train_centroids_kmeans(
-        df, n_centroids, n_iter, vec_col, id_col
+        df, n_centroids, n_iter, vec_col, id_col, init=init
     )
     return _probe_topk(df, centroids, query, k, probes, vec_col, id_col)

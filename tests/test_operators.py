@@ -1340,6 +1340,57 @@ def test_semantic_dedup_kernel_blockwise_matches_small_blocks(spark):
     assert sum(d for _, d in flags[4]) == 19
 
 
+def test_kmeans_pinned_oracle_agrees_on_clustered_fixture(spark, tmp_path):
+    """Cross-engine: the REAL pinned-kmeans driver query vs its REAL
+    DuckDB oracle on a clustered fixture (3 planted clusters + noise +
+    a wrong-dim and a zero-norm row) — the value-level gate for the
+    Lloyd path, where the previous rows-only check couldn't see a wrong
+    centroid update."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    rng = random.Random(424242)
+    centers = [_vec(9000 + c) for c in range(3)]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append(
+            (i, [v + rng.uniform(-0.05, 0.05) for v in c])
+        )
+    rows += [(100, _vec(100)), (101, [0.25] * 5), (102, [0.0] * 64)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    sf_dir = str(tmp_path)
+    emb.coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+    got = sorted(
+        tuple(r)
+        for r in entrymod.queries()["ann_topk_ivf_kmeans_pinned"](
+            spark, sf_dir
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            entrymod.oracle_sql()["ann_topk_ivf_kmeans_pinned"]
+        ).fetchall()
+    )
+    assert got == want
+    ids = {v for v, _ in got}
+    # the query vector is vec_id 0; its own cluster (ids ≡ 0 mod 3)
+    # must dominate the top-k after two Lloyd rounds
+    assert 0 in ids
+    assert sum(1 for v in ids if v % 3 == 0 and v < 60) >= 8
+
+
 def test_semantic_dedup_oracle_agrees_on_null_and_wrong_dim(spark, tmp_path):
     """Cross-engine: the REAL driver query vs the REAL oracle SQL on a
     fixture with null and wrong-dimension vectors (one of them at a
