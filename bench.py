@@ -75,6 +75,11 @@ HEADLINE = [
     "token_ngram_contamination",
     "temperature_sample_ids",
     "bigram_xent_scores",
+    # round-4 additions (new operators, timed from this round on)
+    "classifier_scores",
+    "ann_topk_ivf_pq",
+    "ann_topk_ivf_kmeans_pinned",
+    "token_ngram_dedup_clean",
 ]
 
 # Timed and reported in `queries`, but EXCLUDED from the summed headline
@@ -91,6 +96,10 @@ VALUE_EXCLUDED = {
     "token_ngram_contamination",
     "temperature_sample_ids",
     "bigram_xent_scores",
+    "classifier_scores",
+    "ann_topk_ivf_pq",
+    "ann_topk_ivf_kmeans_pinned",
+    "token_ngram_dedup_clean",
 }
 
 SEQ_RULES = r"""
@@ -500,15 +509,26 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        # noop sink: full execution without driver-side collect overhead
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-        # release operator-tracked caches (LSH candidate sets etc.) so each
-        # query is measured on a quiet executor
-        df_cache.release_all()
+    # MIN of two passes per query: single-pass per-query numbers produced
+    # phantom 1.3-1.7x "regressions" in round 3 (one-shot JIT/GC noise on
+    # sub-2s queries — completeness_missing 1.09 -> 1.84 s class, plans
+    # unchanged). Budget-capped like the sequences workload so a heavily
+    # stolen box doesn't double a pathological pass.
+    query_passes = 0
+    for pass_i in range(2):
+        if pass_i and sum(timings.values()) > 300:
+            break
+        query_passes += 1
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            # noop sink: full execution without driver-side collect overhead
+            df.write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            # release operator-tracked caches (LSH candidate sets etc.) so
+            # each query is measured on a quiet executor
+            df_cache.release_all()
 
     # drop caches accumulated by the query suite (LSH banding etc.) so the
     # sequences workload is measured on a quiet executor
@@ -542,6 +562,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {**timings, "seq_validate": seq_stats["seq_validate_sec"]},
+        "query_passes": query_passes,
         "sf": Path(sf_dir).name,
         "cpus": cpus,
         **skew_stats,

@@ -252,14 +252,17 @@ def main() -> None:
              "plan_excludes": "CartesianProduct"},
         )
     )
-    # curation pipeline: the gates stack on ONE lineage (passthrough
-    # feature projections) — 2 scans (union branches), 1 dedup-window
-    # shuffle, no join-back
+    # curation pipeline v2: the row-local gates (quality, lang, PII,
+    # dup-line fraction) stack on ONE lineage — still 2 scans (union
+    # branches) and 1 dedup-window shuffle; the unigram-entropy feature
+    # adds exactly its two partial-agg exchanges via the groupBy-carry
+    # pattern (features ride the keys — no join-back, no re-execution
+    # of the dedup window)
     sections.append(
         audit(
-            "curation_pipeline (fused gates, single dedup shuffle)",
+            "curation_pipeline v2 (fused gates + entropy groupBy-carry)",
             qs["curation_pipeline"](spark, SF_DIR),
-            {"max_scans": 2, "max_exchanges": 1,
+            {"max_scans": 2, "max_exchanges": 3,
              "plan_excludes": "SortMergeJoin"},
         )
     )
@@ -395,6 +398,27 @@ def main() -> None:
             qs["bigram_xent_scores"](spark, SF_DIR),
             {"has_broadcast": True, "schema_excludes": "lang",
              "plan_excludes": "MapInArrow"},
+        )
+    )
+
+    # quality-classifier inference: pure codegen (no UDF), weight model
+    # broadcast, one explode collapsed by map-side partial agg
+    sections.append(
+        audit(
+            "classifier_scores (hashed ngram linear model, broadcast weights)",
+            qs["classifier_scores"](spark, SF_DIR),
+            {"has_broadcast": True, "max_scans": 1,
+             "schema_excludes": "lang", "plan_excludes": "MapInArrow"},
+        )
+    )
+    # IVF-PQ: Arrow kernels for assignment/encode/ADC, broadcast
+    # semi-joins for probed cells and the rerank shortlist, no self-join
+    sections.append(
+        audit(
+            "ann_topk_ivf_pq (coarse probe + PQ ADC + exact rerank)",
+            qs["ann_topk_ivf_pq"](spark, SF_DIR),
+            {"plan_contains": "MapInArrow", "has_broadcast": True,
+             "plan_excludes": "CartesianProduct"},
         )
     )
 
