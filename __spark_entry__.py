@@ -1421,14 +1421,28 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.PHONE_RE,
         "<PHONE>",
     )
-    # row-local features + the word explode in ONE projection; raw text
-    # is dropped here, so only compact feature columns ride the shuffle
-    pre = gated.select(
+    # Stage the expensive per-doc features in their OWN projection, then
+    # explode in a second select. A single select would land them in the
+    # Project ABOVE Generate (ExtractGenerator keeps non-generator
+    # expressions upstairs), re-running the scrub regexes and the line
+    # array_distinct once PER WORD INSTANCE (~20x; measured 4.4s -> <1s
+    # at sf0.1). Split this way the Generate child computes them once per
+    # doc and only attribute references ride above the explode. Raw text
+    # is dropped at the explode, so only compact features hit the shuffle.
+    staged = gated.select(
         "doc_id",
         F.col("n_words"),
         "predicted_lang",
         dup_line_frac.alias("dup_line_frac"),
         F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+        "text",
+    )
+    pre = staged.select(
+        "doc_id",
+        "n_words",
+        "predicted_lang",
+        "dup_line_frac",
+        "scrubbed_len",
         F.explode_outer(textstats.words(F.lower(F.col("text")))).alias("_w"),
     )
     keys = [
