@@ -200,10 +200,21 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
-    base = df.select(
+    # Stage the line features in their OWN projection before the explode:
+    # ExtractGenerator keeps non-generator expressions in the Project
+    # ABOVE Generate, so inlining them in the explode select would re-run
+    # the line split + array_distinct once per gram instance (~n_words x
+    # per doc; same trap as the gram-array binding above).
+    staged = df.select(
         "doc_id",
         n_lines.cast("bigint").alias("n_lines"),
         dup_frac.alias("dup_line_frac"),
+        F.col(text_col),
+    )
+    base = staged.select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
         F.explode_outer(grams).alias("_gram"),
     )
     counts = base.groupBy(
