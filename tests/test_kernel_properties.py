@@ -179,8 +179,10 @@ def test_list_kernels_honor_sliced_arrays():
 def test_ivf_partial_sums_kernel_property(rows, offset):
     """The partial-sums k-means kernel must match a direct NumPy replay on
     arbitrary batches — including null rows, wrong-dimension vectors, zero
-    vectors (zero-norm centroid guard), and SLICED Arrow arrays (the
-    offset-rebasing class that bit reduceat before)."""
+    vectors (INELIGIBLE: a directionless vector must not vote in a cosine
+    quantizer — the pinned contract shared with ivf_assign_arrow and the
+    SQL oracle), zero-norm CENTROIDS (guarded), and SLICED Arrow arrays
+    (the offset-rebasing class that bit reduceat before)."""
     from fs_schema_validator_spark.functions.arrays import (
         _fixed_dim_matrix,
     )
@@ -194,6 +196,7 @@ def test_ivf_partial_sums_kernel_property(rows, offset):
 
     # replicate the kernel's contract directly
     mat, good = _fixed_dim_matrix(arr, dim)
+    good = good & (np.linalg.norm(mat, axis=1) > 0.0)
     cn = cents.copy()
     norms = np.linalg.norm(cn, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
