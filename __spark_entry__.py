@@ -1467,6 +1467,35 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter((F.col("dup_line_frac") <= 0.5) & (F.col("entropy") >= 1.0))
 
 
+# Shared ANN gate parameters — ONE definition used by both the Spark
+# query functions and the DuckDB oracle builders, so a tuning edit on one
+# side cannot silently replay a different algorithm on the other (the
+# same one-sided-drift risk _CLF_BUCKETS/_CLF_BIAS guard for the
+# classifier gate).
+_ANN_K = 10
+_ANN_N_CENT = 16
+_ANN_PROBES = 4
+_ANN_PINNED_ITERS = 2
+_PQ_M = 8  # subspaces per vector
+_PQ_KS = 16  # codewords per subspace
+_PQ_SUB = 64 // _PQ_M  # dims per subspace
+_PQ_REFINE = 4  # exact-rerank shortlist = refine * k
+
+# Shared id-ordered seed window replayed by every ANN/semantic-dedup
+# oracle — mirrors similarity._collect_seed_matrix exactly: null id/vec
+# AND zero-norm vectors excluded (a directionless vector must not seed a
+# cosine quantizer; engine-side a zero centroid scores 0 while DuckDB's
+# dp/0 is NULL-ranked-last, so letting one in would silently diverge the
+# two replays), 32-row head window, modal-dim (=64) filter, first 16.
+_SEED_WINDOW_SQL = """(SELECT * FROM (
+        SELECT * FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+          AND len(list_filter(embedding, x -> x <> 0)) > 0
+        ORDER BY vec_id LIMIT 32)
+      WHERE len(embedding) = 64
+      ORDER BY vec_id LIMIT 16)"""
+
+
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a k-means-TRAINED quantizer (distributed Lloyd,
     operators/similarity.py::train_centroids_kmeans). Iterative floating
@@ -1477,7 +1506,11 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     full value-level gate by pinning the init and iteration count."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk_kmeans(
-        emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, probes=4
+        emb,
+        _query_vec(spark, sf_dir),
+        k=_ANN_K,
+        n_centroids=_ANN_N_CENT,
+        probes=_ANN_PROBES,
     )
 
 
@@ -1493,10 +1526,10 @@ def ann_topk_ivf_kmeans_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_kmeans(
         emb,
         _query_vec(spark, sf_dir),
-        k=10,
-        n_centroids=16,
-        probes=4,
-        n_iter=2,
+        k=_ANN_K,
+        n_centroids=_ANN_N_CENT,
+        probes=_ANN_PROBES,
+        n_iter=_ANN_PINNED_ITERS,
         init="sample",
     )
 
@@ -1514,22 +1547,22 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk(
         emb,
         _query_vec(spark, sf_dir),
-        k=10,
-        n_centroids=16,
-        probes=4,
-        m=8,
-        ks=16,
-        n_iter=2,
-        refine=4,
+        k=_ANN_K,
+        n_centroids=_ANN_N_CENT,
+        probes=_ANN_PROBES,
+        m=_PQ_M,
+        ks=_PQ_KS,
+        n_iter=_ANN_PINNED_ITERS,
+        refine=_PQ_REFINE,
     )
 
 
 def _ivf_pq_oracle(
-    n_iter: int = 2,
-    probes: int = 4,
-    m: int = 8,
-    sub: int = 8,
-    refine_k: int = 40,
+    n_iter: int = _ANN_PINNED_ITERS,
+    probes: int = _ANN_PROBES,
+    m: int = _PQ_M,
+    sub: int = _PQ_SUB,
+    refine_k: int = _PQ_REFINE * _ANN_K,
 ) -> str:
     """DuckDB replay of ann_topk_ivf_pq. Long-form relations throughout:
     unit vectors u(vec_id, i, ux), codebooks cbN(sub, cell, j, x); each
@@ -1555,14 +1588,9 @@ def _ivf_pq_oracle(
              CAST(e.embedding[g.i] AS DOUBLE) / v.nrm AS ux
       FROM embeddings e JOIN vn v USING (vec_id),
            generate_series(1, 64) g(i))""",
-        """seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        f"""seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                    embedding
-            FROM (SELECT * FROM (
-                    SELECT * FROM embeddings
-                    WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
-                    ORDER BY vec_id LIMIT 32)
-                  WHERE len(embedding) = 64
-                  ORDER BY vec_id LIMIT 16))""",
+            FROM {_SEED_WINDOW_SQL})""",
         # coarse IVF: raw seed rows, argmax cosine (scored on dot/|c|)
         """cent0 AS (SELECT cell, i, CAST(embedding[i] AS DOUBLE) AS x
             FROM seed, generate_series(1, 64) g(i))""",
@@ -1650,11 +1678,13 @@ s AS (SELECT vec_id, round(sum(a * b) /
     ctes = ",\n".join(parts)
     return (
         f"WITH {ctes}\n"
-        "SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10"
+        f"SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {_ANN_K}"
     )
 
 
-def _kmeans_pinned_oracle(n_iter: int = 2, probes: int = 4) -> str:
+def _kmeans_pinned_oracle(
+    n_iter: int = _ANN_PINNED_ITERS, probes: int = _ANN_PROBES
+) -> str:
     """DuckDB replay of ann_topk_ivf_kmeans_pinned: long-form centroids
     (cell, i, x), each Lloyd iteration = argmax-cosine assignment (the
     vn CTE keeps null/wrong-dim/zero-norm vectors ineligible, mirroring
@@ -1675,14 +1705,9 @@ def _kmeans_pinned_oracle(n_iter: int = 2, probes: int = 4) -> str:
        GROUP BY vec_id
        HAVING sum(CAST(embedding[i] AS DOUBLE)
                   * CAST(embedding[i] AS DOUBLE)) > 0)""",
-        """seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        f"""seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                    embedding
-            FROM (SELECT * FROM (
-                    SELECT * FROM embeddings
-                    WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
-                    ORDER BY vec_id LIMIT 32)
-                  WHERE len(embedding) = 64
-                  ORDER BY vec_id LIMIT 16))""",
+            FROM {_SEED_WINDOW_SQL})""",
         """c0 AS (SELECT cell, i, CAST(embedding[i] AS DOUBLE) AS x
           FROM seed, generate_series(1, 64) g(i))""",
     ]
@@ -1741,7 +1766,7 @@ s AS (SELECT vec_id, round(sum(a * b) /
     ctes = ",\n".join(parts)
     return (
         f"WITH {ctes}\n"
-        "SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10"
+        f"SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {_ANN_K}"
     )
 
 
@@ -2397,7 +2422,7 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10
 # the same (fewer) seeds in both engines; the only remaining fixture
 # contract is that 64 is the MODAL length in that window (the engine
 # keeps the modal length, this SQL pins 64).
-_SEMANTIC_DUP_ORACLE = """
+_SEMANTIC_DUP_ORACLE = f"""
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
@@ -2406,12 +2431,7 @@ WITH corpus AS (
 ),
 cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                 embedding
-         FROM (SELECT * FROM (
-                 SELECT * FROM embeddings
-                 WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
-                 ORDER BY vec_id LIMIT 32)
-               WHERE len(embedding) = 64
-               ORDER BY vec_id LIMIT 16)),
+         FROM {_SEED_WINDOW_SQL}),
 cn AS (SELECT cell, sqrt(sum(CAST(embedding[i] AS DOUBLE)
                              * CAST(embedding[i] AS DOUBLE))) AS nrm
        FROM cent, generate_series(1, 64) g(i) GROUP BY cell),
@@ -2483,15 +2503,10 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
-_ANN_IVF_ORACLE = """
+_ANN_IVF_ORACLE = f"""
 WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                      embedding
-              FROM (SELECT * FROM (
-                      SELECT * FROM embeddings
-                      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
-                      ORDER BY vec_id LIMIT 32)
-                    WHERE len(embedding) = 64
-                    ORDER BY vec_id LIMIT 16)),
+              FROM {_SEED_WINDOW_SQL}),
 cn AS (SELECT cell, sqrt(sum(CAST(embedding[i] AS DOUBLE)
                              * CAST(embedding[i] AS DOUBLE))) AS nrm
        FROM cent, generate_series(1, 64) g(i) GROUP BY cell),

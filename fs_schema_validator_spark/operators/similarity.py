@@ -354,17 +354,25 @@ def seed_centroids(
 def _collect_seed_matrix(
     df: DataFrame, n_centroids: int, vec_col: str, id_col: str
 ) -> "np.ndarray":
-    """Deterministic id-ordered seed centroids; null and wrong-dimension
-    vectors are skipped (they occur in real data — the engine ships
-    embedding_dim_violations for exactly that, and the Arrow kernels
-    degrade per-row; the driver-side sample must too)."""
+    """Deterministic id-ordered seed centroids; null, wrong-dimension,
+    and ZERO-NORM vectors are skipped (they occur in real data — the
+    engine ships embedding_dim_violations for exactly that, and the
+    Arrow kernels degrade per-row; the driver-side sample must too).
+    The zero-norm exclusion is load-bearing for oracle parity: a zero
+    centroid scores cosine 0 in the kernels (guarded norm) but NULL in
+    a SQL replay (dp/0), so the shared _SEED_WINDOW_SQL contract keeps
+    one out of the window on both sides."""
     import numpy as np
 
     rows = (
         # null ids are excluded, not just null vectors: Spark sorts
         # nulls FIRST ascending (DuckDB/ANSI default is last), so a
         # null-id row would silently shift the id-ordered window
-        df.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+        df.filter(
+            F.col(vec_col).isNotNull()
+            & F.col(id_col).isNotNull()
+            & F.exists(F.col(vec_col), lambda x: x != F.lit(0))
+        )
         .orderBy(F.col(id_col))
         .limit(n_centroids * 2)
         .select(vec_col)

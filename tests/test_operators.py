@@ -2097,3 +2097,55 @@ def test_bigram_xent_oracle_agrees_on_null_and_empty_text(spark, tmp_path):
     by_id = {v[0]: v for v in got}
     for deg in (50, 75, 77, 100):
         assert by_id[deg][1:] == (0, 0.0)
+
+
+def test_ann_oracles_agree_with_zero_vector_in_seed_window(spark, tmp_path):
+    """Cross-engine contract pin: a ZERO vector planted inside the
+    id-ordered seed window must not become a centroid on either side.
+    Before the shared _SEED_WINDOW_SQL exclusion, the engine kept it as
+    a real zero centroid (guarded norm -> cosine 0, can win over
+    all-negative scores) while DuckDB's dp/0 is NULL-ranked-last — a
+    silent seed divergence. Fixture also plants a null embedding and a
+    wrong-dimension row inside the window (modal-dim filter)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    dim = 64
+    rows = []
+    for vid in range(60):
+        if vid == 3:
+            vec = [0.0] * dim                      # zero-norm, in-window
+        elif vid == 5:
+            vec = None                             # null, in-window
+        elif vid == 7:
+            vec = [1.0] * 8                        # wrong dim, in-window
+        else:
+            vec = [
+                float(((vid * 31 + i * 7) % 13) - 6) for i in range(dim)
+            ]
+        rows.append((vid, vec, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    sf_dir = str(tmp_path)
+    emb.coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+    entrymod._QUERY_VEC_CACHE.pop(sf_dir, None)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    for name in ("ann_topk_ivf", "ann_topk_ivf_kmeans_pinned",
+                 "ann_topk_ivf_pq"):
+        got = sorted(
+            tuple(r)
+            for r in entrymod.queries()[name](spark, sf_dir).collect()
+        )
+        want = sorted(
+            tuple(r) for r in con.sql(entrymod.oracle_sql()[name]).fetchall()
+        )
+        assert got == want, name
+        assert len(got) == 10, name
+        assert 3 not in {r[0] for r in got}, name  # zero vec ineligible
