@@ -2070,27 +2070,23 @@ def window_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The window-function extension family in one slot: per-customer
     running order totals + order ranks, and gap-based sessionization
     event counts, melted to (mode, k1, k2, val)."""
-    rt = window_running_total(spark, sf_dir)
-    sess = sessionize_events(spark, sf_dir)
-    a = rt.select(
-        F.lit("running_total").alias("mode"),
-        F.col("o_custkey").cast("bigint").alias("k1"),
-        F.col("o_orderkey").cast("bigint").alias("k2"),
-        F.col("running_total").alias("val"),
+    # stack() melts both window metrics from ONE pass over the window
+    # lineage — feeding rt into two union branches would re-run the
+    # orders scan and the per-customer window sort once per branch
+    # (the token_count_modes idiom).
+    ab = window_running_total(spark, sf_dir).selectExpr(
+        "CAST(o_custkey AS bigint) AS k1",
+        "CAST(o_orderkey AS bigint) AS k2",
+        "stack(2, 'running_total', running_total, "
+        "'order_rank', CAST(order_rank AS double)) AS (mode, val)",
     )
-    b = rt.select(
-        F.lit("order_rank").alias("mode"),
-        F.col("o_custkey").cast("bigint").alias("k1"),
-        F.col("o_orderkey").cast("bigint").alias("k2"),
-        F.col("order_rank").cast("double").alias("val"),
-    )
-    c = sess.select(
+    c = sessionize_events(spark, sf_dir).select(
         F.lit("session_events").alias("mode"),
         F.col("user_id").cast("bigint").alias("k1"),
         F.col("session_id").cast("bigint").alias("k2"),
         F.col("n_events").cast("double").alias("val"),
     )
-    return a.unionByName(b).unionByName(c)
+    return ab.select("mode", "k1", "k2", "val").unionByName(c)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
