@@ -408,6 +408,36 @@ def _safe_unit_rows(m: "np.ndarray") -> "np.ndarray":
     return m / norms
 
 
+def _coarse_probe(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    query: list[float],
+    probes: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[DataFrame, "np.ndarray"]:
+    """(probed-cell candidate ids, unit query vector) — the coarse step
+    every IVF strategy shares: rank cells by query-centroid cosine with
+    the oracles' deterministic tie-break (sim DESC, cell ASC — a bare
+    argsort is quicksort, unstable on bit-identical duplicate seed
+    centroids), assign the corpus with the Arrow matmul kernel, keep ids
+    in the probed cells."""
+    import numpy as np
+
+    from ..functions.arrays import ivf_assign_arrow
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    cn = _safe_unit_rows(centroids)
+    sims = cn @ qn
+    # np.lexsort keys are minor-to-major: cell index breaks sim ties
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    probe_cells = [int(c) for c in order[:probes]]
+    assigned = ivf_assign_arrow(df, centroids, vec_col, id_col)
+    in_cells = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col)
+    return in_cells, qn
+
+
 def _probe_topk(
     df: DataFrame,
     centroids: "np.ndarray",
@@ -418,20 +448,9 @@ def _probe_topk(
     id_col: str,
 ) -> DataFrame:
     """Shared IVF probe tail (used by both the sample and the k-means
-    quantizer): rank cells by query-centroid similarity, assign the
-    corpus with the Arrow matmul kernel, semi-join the probed cells,
-    exact top-k inside them."""
-    import numpy as np
-
-    from ..functions.arrays import ivf_assign_arrow
-
-    q = np.asarray(query, dtype=np.float64)
-    qn = q / (np.linalg.norm(q) or 1.0)
-    cn = _safe_unit_rows(centroids)
-    probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:probes]]
-
-    assigned = ivf_assign_arrow(df, centroids, vec_col, id_col)
-    in_cells = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col)
+    quantizer): coarse-probe the cells, semi-join the survivors, exact
+    top-k inside them."""
+    in_cells, _ = _coarse_probe(df, centroids, query, probes, vec_col, id_col)
     candidates = df.join(F.broadcast(in_cells), id_col, "left_semi")
     return topk_cosine(candidates, query, k, vec_col, id_col)
 
@@ -793,18 +812,14 @@ def ivf_pq_topk(
     (a broadcast semi-join).
     Everything deterministic: id-ordered seeds, pinned n_iter — the
     driver gate replays the whole run in SQL value-for-value."""
-    import numpy as np
-
     from ..functions.arrays import (
-        ivf_assign_arrow,
         pq_adc_scores_arrow,
         pq_encode_arrow,
     )
 
     coarse = _collect_seed_matrix(df, n_centroids, vec_col, id_col)
     cb = train_pq_codebooks(df, m, ks, n_iter, vec_col, id_col)
-    q = np.asarray(query, dtype=np.float64)
-    qn = q / (np.linalg.norm(q) or 1.0)
+    in_cells, qn = _coarse_probe(df, coarse, query, probes, vec_col, id_col)
     sub = cb.shape[2]
     # (m, ks) ADC lookup table: squared L2 from each query subvector to
     # each codeword — built once on the driver, ships in the kernel
@@ -812,12 +827,13 @@ def ivf_pq_topk(
         (qn.reshape(m, 1, sub) - cb) ** 2
     ).sum(-1)
 
-    cn = _safe_unit_rows(coarse)
-    probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:probes]]
-    assigned = ivf_assign_arrow(df, coarse, vec_col, id_col)
-    in_cells = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col)
-    codes = pq_encode_arrow(df, cb, vec_col, id_col)
-    cand_codes = codes.join(F.broadcast(in_cells), id_col, "left_semi")
+    # encode AFTER the cell semi-join: codeword assignment is
+    # O(m·ks·sub) flops/row, so the ~probes/n_centroids of the corpus
+    # outside the probed cells never pays it (ADC scores of the probed
+    # set are identical either way). A standing index build would call
+    # pq_encode_arrow on the full corpus once instead.
+    cand = df.join(F.broadcast(in_cells), id_col, "left_semi")
+    cand_codes = pq_encode_arrow(cand, cb, vec_col, id_col)
     shortlist = (
         pq_adc_scores_arrow(cand_codes, lut, id_col)
         .orderBy(F.col("adist").asc(), F.col(id_col).asc())
