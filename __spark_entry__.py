@@ -2905,15 +2905,14 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(w, t -> t IN ('el','la','los','y','de'))) AS v_es "
             "FROM q), "
             "s AS (SELECT *, greatest(v_en, v_de, v_fr, v_es) AS best FROM v), "
+            # predicted_lang is computed ONCE here; the language-match /
+            # length / word-length gates filter on it one CTE later so a
+            # tie-break edit can never drift between projection and filter
             "p AS (SELECT doc_id, n_words, awl, lang, text, "
             "CASE WHEN best = 0 THEN 'und' "
             "WHEN v_en = best THEN 'en' WHEN v_de = best THEN 'de' "
             "WHEN v_fr = best THEN 'fr' WHEN v_es = best THEN 'es' "
-            "ELSE 'und' END AS predicted_lang FROM s "
-            "WHERE n_words >= 30 AND (CASE WHEN best = 0 THEN 'und' "
-            "WHEN v_en = best THEN 'en' WHEN v_de = best THEN 'de' "
-            "WHEN v_fr = best THEN 'fr' WHEN v_es = best THEN 'es' "
-            "ELSE 'und' END) = lang AND awl <= 10.0), "
+            "ELSE 'und' END AS predicted_lang FROM s), "
             "g AS (SELECT doc_id, n_words, predicted_lang, "
             "CASE WHEN len(list_filter(string_split(text, chr(10)), "
             "ln -> ln != '')) > 0 THEN round(1.0 - "
@@ -2924,7 +2923,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(regexp_replace(regexp_replace(text, "
             f"'{textstats.EMAIL_RE}', '<EMAIL>', 'g'), "
             f"'{textstats.PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) "
-            "AS scrubbed_len, text FROM p), "
+            "AS scrubbed_len, text FROM p "
+            "WHERE n_words >= 30 AND predicted_lang = lang "
+            "AND awl <= 10.0), "
             f"tok AS (SELECT doc_id, unnest({_WORDS}) AS t FROM g), "
             "tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2), "
             "ent AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS sc "
