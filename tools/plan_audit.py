@@ -422,6 +422,16 @@ def main() -> None:
         )
     )
 
+    # window family melt: BOTH running-total metrics stack() from ONE
+    # window pass — 2 scans total (orders + events), not one per metric
+    sections.append(
+        audit(
+            "window_ops (stack-melted window family, one pass per table)",
+            qs["window_ops"](spark, SF_DIR),
+            {"max_scans": 2, "plan_excludes": "CartesianProduct"},
+        )
+    )
+
     md = ["# PLANS — physical-plan audit\n",
           "Generated by `tools/plan_audit.py` at sf0.01 / n=1000 synth.",
           "Expectations are asserted; FAIL lines are plan regressions.\n"]
