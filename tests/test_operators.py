@@ -2149,3 +2149,26 @@ def test_ann_oracles_agree_with_zero_vector_in_seed_window(spark, tmp_path):
         assert got == want, name
         assert len(got) == 10, name
         assert 3 not in {r[0] for r in got}, name  # zero vec ineligible
+
+
+def test_coarse_probe_tie_break_is_deterministic(spark):
+    """Bit-identical duplicate seed centroids must probe the LOWER cell
+    first (the oracles' ORDER BY sim DESC, cell ASC) — a bare
+    np.argsort(-sims) is quicksort, unstable on ties."""
+    import numpy as np
+
+    from fs_schema_validator_spark.operators.similarity import _coarse_probe
+
+    dup = [1.0, 0.0, 0.0, 0.0]
+    cents = np.array([dup, dup, dup, [0.0, 1.0, 0.0, 0.0]])
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.0, 0.0]) for i in range(8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    in_cells, qn = _coarse_probe(df, cents, dup, probes=2, vec_col="embedding",
+                                 id_col="vec_id")
+    assert np.allclose(qn, dup)
+    # all 8 vectors score highest on the duplicated direction; the argmax
+    # assignment and the probe ranking must both resolve ties to the
+    # LOWEST cell, so probing cells {0, 1} covers every vector
+    assert in_cells.count() == 8
