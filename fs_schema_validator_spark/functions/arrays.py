@@ -1080,6 +1080,59 @@ def pq_encode_arrow(
     return src.mapInArrow(compute, out_schema)
 
 
+def ivf_pq_index_arrow(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell int, codes binary) — the standing-index build pass:
+    coarse IVF assignment AND PQ encoding of every eligible vector in
+    ONE Arrow sweep over the corpus (running ivf_assign_arrow and
+    pq_encode_arrow separately would scan twice and join two full-corpus
+    streams on the id — a shuffle the index build never needs).
+    Ineligible (null / wrong-dimension / zero-norm) rows get NULL
+    cell+codes; both models ship in the kernel closure."""
+    cn = centroids.astype(np.float64)
+    cnorm = np.linalg.norm(cn, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0
+    cn = cn / cnorm
+    cb = codebooks.astype(np.float64)
+    m, ks, _sub = cb.shape
+    if ks > 256:
+        raise ValueError(f"ks must fit a byte, got {ks}")
+    dim = cn.shape[1]
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, cell int, codes binary"
+    )
+    src = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            u, good = _unit_rows_masked(batch.column("_v"), dim)
+            cell = np.argmax(u @ cn.T, axis=1).astype(np.int32)
+            codes = _pq_assign(u, cb).astype(np.uint8)
+            out_cell = pa.array(
+                np.ma.masked_array(cell, mask=~good), type=pa.int32()
+            )
+            out_codes = [
+                row.tobytes() if ok else None
+                for row, ok in zip(codes, good)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    out_cell,
+                    pa.array(out_codes, type=pa.binary()),
+                ],
+                names=[id_col, "cell", "codes"],
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
 def pq_partial_sums_arrow(
     df: DataFrame,
     codebooks: "np.ndarray",

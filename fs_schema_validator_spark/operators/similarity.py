@@ -408,6 +408,24 @@ def _safe_unit_rows(m: "np.ndarray") -> "np.ndarray":
     return m / norms
 
 
+def _probe_cells(
+    centroids: "np.ndarray", query: list[float], probes: int
+) -> tuple[list[int], "np.ndarray"]:
+    """(probe cell ids, unit query vector): rank cells by query-centroid
+    cosine with the oracles' deterministic tie-break (sim DESC, cell ASC
+    — a bare argsort is quicksort, unstable on bit-identical duplicate
+    seed centroids)."""
+    import numpy as np
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    cn = _safe_unit_rows(centroids)
+    sims = cn @ qn
+    # np.lexsort keys are minor-to-major: cell index breaks sim ties
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    return [int(c) for c in order[:probes]], qn
+
+
 def _coarse_probe(
     df: DataFrame,
     centroids: "np.ndarray",
@@ -417,22 +435,12 @@ def _coarse_probe(
     id_col: str,
 ) -> tuple[DataFrame, "np.ndarray"]:
     """(probed-cell candidate ids, unit query vector) — the coarse step
-    every IVF strategy shares: rank cells by query-centroid cosine with
-    the oracles' deterministic tie-break (sim DESC, cell ASC — a bare
-    argsort is quicksort, unstable on bit-identical duplicate seed
-    centroids), assign the corpus with the Arrow matmul kernel, keep ids
-    in the probed cells."""
-    import numpy as np
-
+    every query-time IVF strategy shares: rank the probe cells, assign
+    the corpus with the Arrow matmul kernel, keep ids in the probed
+    cells."""
     from ..functions.arrays import ivf_assign_arrow
 
-    q = np.asarray(query, dtype=np.float64)
-    qn = q / (np.linalg.norm(q) or 1.0)
-    cn = _safe_unit_rows(centroids)
-    sims = cn @ qn
-    # np.lexsort keys are minor-to-major: cell index breaks sim ties
-    order = np.lexsort((np.arange(len(sims)), -sims))
-    probe_cells = [int(c) for c in order[:probes]]
+    probe_cells, qn = _probe_cells(centroids, query, probes)
     assigned = ivf_assign_arrow(df, centroids, vec_col, id_col)
     in_cells = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col)
     return in_cells, qn
@@ -841,4 +849,119 @@ def ivf_pq_topk(
         .select(id_col)
     )
     finalists = df.join(F.broadcast(shortlist), id_col, "left_semi")
+    return topk_cosine(finalists, query, k, vec_col, id_col)
+
+
+def write_pq_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Materialize the STANDING IVF-PQ index ivf_pq_topk's docstring
+    promises: train once, encode the corpus in ONE Arrow pass
+    (ivf_pq_index_arrow), and write `(id, codes)` PARTITIONED BY cell —
+    so a probe query prunes to probes/n_centroids of the files at the
+    directory level (PartitionFilters in the scan) and reads m BYTES per
+    surviving row instead of dim floats. The trained models ride along
+    in a `model/` parquet sidecar (n_centroids + m*ks tiny rows), so
+    query time never retrains and never touches raw vectors until the
+    exact rerank of the shortlist. The Iceberg equivalent of the layout
+    is an identity `cell` partition transform.
+
+    Ineligible rows (null / wrong-dimension / zero-norm vectors) are not
+    indexed — they can never be probed; the validator queries
+    (embedding_dim_violations) are the place that reports them."""
+    coarse = _collect_seed_matrix(df, n_centroids, vec_col, id_col)
+    cb = train_pq_codebooks(df, m, ks, n_iter, vec_col, id_col)
+
+    from ..functions.arrays import ivf_pq_index_arrow
+
+    index = ivf_pq_index_arrow(df, coarse, cb, vec_col, id_col).filter(
+        F.col("cell").isNotNull()
+    )
+    index.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )
+
+    spark = df.sparkSession
+    mrows = [
+        ("coarse", int(i), 0, [float(x) for x in row])
+        for i, row in enumerate(coarse)
+    ] + [
+        ("codebook", int(s), int(c), [float(x) for x in cb[s, c]])
+        for s in range(m)
+        for c in range(ks)
+    ]
+    spark.createDataFrame(
+        mrows, "kind string, i int, j int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+    return path
+
+
+def _load_pq_model(
+    spark, path: str
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """(coarse centroids, codebooks) from a write_pq_index model sidecar
+    — a bounded driver-side collect (n_centroids + m*ks rows)."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/model").collect()
+    coarse = np.asarray(
+        [r.vec for r in sorted(
+            (r for r in rows if r.kind == "coarse"), key=lambda r: r.i
+        )]
+    )
+    cbrows = sorted(
+        (r for r in rows if r.kind == "codebook"), key=lambda r: (r.i, r.j)
+    )
+    m = 1 + max(r.i for r in cbrows)
+    ks = 1 + max(r.j for r in cbrows)
+    cb = np.asarray([r.vec for r in cbrows]).reshape(m, ks, -1)
+    return coarse, cb
+
+
+def pq_topk_from_index(
+    spark,
+    path: str,
+    query: list[float],
+    corpus: DataFrame,
+    k: int = 10,
+    probes: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k against a write_pq_index layout: load the tiny
+    model sidecar, rank probe cells driver-side, scan ONLY the probed
+    cells' code files (`cell IN (...)` is a partition filter — the scan
+    never opens the other directories), ADC-score the m-byte codes, and
+    exact-rerank the refine*k shortlist against the raw corpus via a
+    broadcast semi-join. Same algorithm as ivf_pq_topk, with train +
+    encode amortized into the index build."""
+    import numpy as np
+
+    from ..functions.arrays import pq_adc_scores_arrow
+
+    coarse, cb = _load_pq_model(spark, path)
+    probe_cells, qn = _probe_cells(coarse, query, probes)
+    m, ks, sub = cb.shape
+    lut = ((qn.reshape(m, 1, sub) - cb) ** 2).sum(-1)
+
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cell").isin(probe_cells))
+        .select(id_col, "codes")
+    )
+    shortlist = (
+        pq_adc_scores_arrow(codes, lut, id_col)
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(refine * k)
+        .select(id_col)
+    )
+    finalists = corpus.join(F.broadcast(shortlist), id_col, "left_semi")
     return topk_cosine(finalists, query, k, vec_col, id_col)

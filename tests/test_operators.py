@@ -2172,3 +2172,52 @@ def test_coarse_probe_tie_break_is_deterministic(spark):
     # assignment and the probe ranking must both resolve ties to the
     # LOWEST cell, so probing cells {0, 1} covers every vector
     assert in_cells.count() == 8
+
+
+def test_pq_index_build_query_matches_direct_and_prunes_partitions(
+    spark, tmp_path
+):
+    """The standing IVF-PQ index: write_pq_index + pq_topk_from_index
+    must return EXACTLY what the one-shot ivf_pq_topk computes (same
+    deterministic seeds/params), ineligible rows must not be indexed,
+    and the probe query's code scan must carry a `cell` PARTITION filter
+    (directory-level pruning — the point of the layout)."""
+    import random
+
+    from fs_schema_validator_spark.operators import similarity
+
+    rng = random.Random(424)
+    centers = [_vec(9300 + c) for c in range(4)]
+    rows = [
+        (i, [v + rng.uniform(-0.08, 0.08) for v in centers[i % 4]])
+        for i in range(80)
+    ]
+    rows += [(200, [0.25] * 5), (201, [0.0] * 64), (202, None)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = rows[0][1]
+    params = dict(n_centroids=8, m=8, ks=8, n_iter=2)
+
+    path = str(tmp_path / "pq_index")
+    similarity.write_pq_index(emb, path, **params)
+
+    direct = [
+        tuple(r)
+        for r in similarity.ivf_pq_topk(
+            emb, q, k=10, probes=4, refine=4, **params
+        ).collect()
+    ]
+    from_index = similarity.pq_topk_from_index(
+        spark, path, q, emb, k=10, probes=4, refine=4
+    )
+    assert [tuple(r) for r in from_index.collect()] == direct
+    assert len(direct) == 10
+
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == 80          # ineligible rows not indexed
+    assert codes.filter(F.col("cell").isNull()).count() == 0
+
+    pruned = codes.filter(F.col("cell").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
