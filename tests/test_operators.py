@@ -2221,3 +2221,44 @@ def test_pq_index_build_query_matches_direct_and_prunes_partitions(
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters", 1
     )[1][:200]
+
+
+def test_pq_index_one_pass_equals_two_pass_kernels(spark):
+    """ivf_pq_index_arrow (the standing-index build pass) must emit, for
+    EVERY row, exactly the cell ivf_assign_arrow assigns and the codes
+    pq_encode_arrow produces — including the NULL contract on
+    null / wrong-dimension / zero-norm rows."""
+    import numpy as np
+
+    from fs_schema_validator_spark.functions.arrays import (
+        ivf_assign_arrow,
+        ivf_pq_index_arrow,
+        pq_encode_arrow,
+    )
+
+    dim, m, ks = 8, 4, 4
+    rows = [
+        (i, [float(((i + 1) * 7 + j * 3) % 11 - 5) for j in range(dim)])
+        for i in range(40)
+    ]
+    rows += [(100, None), (101, [1.0] * 3), (102, [0.0] * dim)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = np.asarray([r[1] for r in rows[:6]])
+    cb = (
+        np.asarray([r[1] for r in rows[:ks]])
+        .reshape(ks, m, dim // m)
+        .transpose(1, 0, 2)
+        .copy()
+    )
+
+    one = {
+        r.vec_id: (r.cell, r.codes)
+        for r in ivf_pq_index_arrow(df, cents, cb).collect()
+    }
+    cells = {r.vec_id: r.cell for r in ivf_assign_arrow(df, cents).collect()}
+    codes = {r.vec_id: r.codes for r in pq_encode_arrow(df, cb).collect()}
+    assert set(one) == set(cells) == set(codes)
+    for vid in one:
+        assert one[vid] == (cells[vid], codes[vid]), vid
+    for vid in (100, 101, 102):
+        assert one[vid] == (None, None)
