@@ -903,6 +903,30 @@ def write_pq_index(
     return path
 
 
+def append_pq_index(
+    df_new: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Incrementally extend a write_pq_index layout: encode ONLY the new
+    rows with the FROZEN sidecar models (no retrain — the codebooks are
+    the index's contract; retraining would silently re-quantize history)
+    and append them under their cell partitions. This is how a daily
+    ingest keeps a 10^12-vector index current: one Arrow pass over the
+    delta, zero touches of existing files. Rebuild (write_pq_index) when
+    drift vs the training sample warrants it — the drift operators
+    (histogram_psi / drift_ks) are the signal."""
+    from ..functions.arrays import ivf_pq_index_arrow
+
+    coarse, cb = _load_pq_model(df_new.sparkSession, path)
+    index = ivf_pq_index_arrow(df_new, coarse, cb, vec_col, id_col).filter(
+        F.col("cell").isNotNull()
+    )
+    index.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+    return path
+
+
 def _load_pq_model(
     spark, path: str
 ) -> tuple["np.ndarray", "np.ndarray"]:

@@ -2262,3 +2262,66 @@ def test_pq_index_one_pass_equals_two_pass_kernels(spark):
         assert one[vid] == (cells[vid], codes[vid]), vid
     for vid in (100, 101, 102):
         assert one[vid] == (None, None)
+
+
+def test_pq_index_append_extends_without_retraining(spark, tmp_path):
+    """append_pq_index must encode the delta with the FROZEN sidecar
+    models (same codes the original build would give those rows) and
+    leave existing entries untouched; a post-append probe query sees
+    the new vectors."""
+    import random
+
+    from fs_schema_validator_spark.operators import similarity
+
+    rng = random.Random(515)
+    centers = [_vec(9400 + c) for c in range(4)]
+    base_rows = [
+        (i, [v + rng.uniform(-0.08, 0.08) for v in centers[i % 4]])
+        for i in range(60)
+    ]
+    new_rows = [
+        (1000 + i, [v + rng.uniform(-0.08, 0.08) for v in centers[0]])
+        for i in range(12)
+    ] + [(2000, [0.0] * 64)]                    # ineligible delta row
+    base = spark.createDataFrame(
+        base_rows, "vec_id bigint, embedding array<float>"
+    )
+    delta = spark.createDataFrame(
+        new_rows, "vec_id bigint, embedding array<float>"
+    )
+    path = str(tmp_path / "pq_index")
+    similarity.write_pq_index(base, path, n_centroids=8, m=8, ks=8, n_iter=2)
+    before = {
+        r.vec_id: (r.cell, bytes(r.codes))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    similarity.append_pq_index(delta, path)
+    after = {
+        r.vec_id: (r.cell, bytes(r.codes))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    assert len(after) == 60 + 12                # zero-norm row skipped
+    for vid, entry in before.items():
+        assert after[vid] == entry              # history untouched
+    # the frozen models give the delta the same codes a joint build's
+    # kernel would (same centroids/codebooks ship either way)
+    coarse, cb = similarity._load_pq_model(spark, path)
+    from fs_schema_validator_spark.functions.arrays import ivf_pq_index_arrow
+
+    expect = {
+        r.vec_id: (r.cell, bytes(r.codes))
+        for r in ivf_pq_index_arrow(delta, coarse, cb)
+        .filter(F.col("cell").isNotNull())
+        .collect()
+    }
+    for vid, entry in expect.items():
+        assert after[vid] == entry
+    # a query near centers[0] can now surface appended ids
+    got = {
+        r.vec_id
+        for r in similarity.pq_topk_from_index(
+            spark, path, centers[0], base.unionByName(delta), k=10,
+            probes=2, refine=4,
+        ).collect()
+    }
+    assert got & {1000 + i for i in range(12)}
