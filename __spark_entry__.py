@@ -1482,18 +1482,22 @@ _PQ_SUB = 64 // _PQ_M  # dims per subspace
 _PQ_REFINE = 4  # exact-rerank shortlist = refine * k
 
 # Shared id-ordered seed window replayed by every ANN/semantic-dedup
-# oracle — mirrors similarity._collect_seed_matrix exactly: null id/vec
-# AND zero-norm vectors excluded (a directionless vector must not seed a
-# cosine quantizer; engine-side a zero centroid scores 0 while DuckDB's
-# dp/0 is NULL-ranked-last, so letting one in would silently diverge the
-# two replays), 32-row head window, modal-dim (=64) filter, first 16.
-_SEED_WINDOW_SQL = """(SELECT * FROM (
+# oracle — mirrors similarity._collect_seed_matrix exactly: null id/vec,
+# zero-norm vectors (a directionless vector must not seed a cosine
+# quantizer; engine-side a zero centroid scores 0 while DuckDB's dp/0 is
+# NULL-ranked-last), AND vectors with null/NaN ELEMENTS (np.asarray
+# turns a None element into a NaN centroid that poisons every engine
+# argmax while DuckDB's sum() skips null terms) all excluded;
+# 2*n_centroids head window, modal-dim (=64) filter, first n_centroids.
+_SEED_WINDOW_SQL = f"""(SELECT * FROM (
         SELECT * FROM embeddings
         WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
           AND len(list_filter(embedding, x -> x <> 0)) > 0
-        ORDER BY vec_id LIMIT 32)
+          AND len(list_filter(embedding,
+                x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0
+        ORDER BY vec_id LIMIT {_ANN_N_CENT * 2})
       WHERE len(embedding) = 64
-      ORDER BY vec_id LIMIT 16)"""
+      ORDER BY vec_id LIMIT {_ANN_N_CENT})"""
 
 
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1583,7 +1587,10 @@ def _ivf_pq_oracle(
          AND vec_id IS NOT NULL
        GROUP BY vec_id
        HAVING sum(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE)) > 0)""",
+                  * CAST(embedding[i] AS DOUBLE)) > 0
+          AND count(CAST(embedding[i] AS DOUBLE)) = 64
+          AND NOT isnan(sum(CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE))))""",
         """u AS (SELECT e.vec_id, g.i,
              CAST(e.embedding[g.i] AS DOUBLE) / v.nrm AS ux
       FROM embeddings e JOIN vn v USING (vec_id),
@@ -1704,7 +1711,10 @@ def _kmeans_pinned_oracle(
          AND vec_id IS NOT NULL
        GROUP BY vec_id
        HAVING sum(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE)) > 0)""",
+                  * CAST(embedding[i] AS DOUBLE)) > 0
+          AND count(CAST(embedding[i] AS DOUBLE)) = 64
+          AND NOT isnan(sum(CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE))))""",
         f"""seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                    embedding
             FROM {_SEED_WINDOW_SQL})""",
@@ -2435,7 +2445,10 @@ vn AS (SELECT vec_id FROM corpus, generate_series(1, 64) g(i)
        WHERE embedding IS NOT NULL AND len(embedding) = 64
        GROUP BY vec_id
        HAVING sum(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE)) > 0),
+                  * CAST(embedding[i] AS DOUBLE)) > 0
+          AND count(CAST(embedding[i] AS DOUBLE)) = 64
+          AND NOT isnan(sum(CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)))),
 cdot AS (SELECT e.vec_id, c.cell,
                 sum(CAST(e.embedding[i] AS DOUBLE)
                     * CAST(c.embedding[i] AS DOUBLE)) AS dot_vc
@@ -2510,7 +2523,10 @@ vn AS (SELECT vec_id FROM embeddings, generate_series(1, 64) g(i)
        WHERE embedding IS NOT NULL AND len(embedding) = 64
        GROUP BY vec_id
        HAVING sum(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE)) > 0),
+                  * CAST(embedding[i] AS DOUBLE)) > 0
+          AND count(CAST(embedding[i] AS DOUBLE)) = 64
+          AND NOT isnan(sum(CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)))),
 cdot AS (SELECT e.vec_id, c.cell,
                 sum(CAST(e.embedding[i] AS DOUBLE)
                     * CAST(c.embedding[i] AS DOUBLE)) AS dot_vc
@@ -2525,7 +2541,7 @@ assign AS (SELECT vec_id, cell FROM (
                                        ORDER BY sim DESC, cell ASC) AS rk
              FROM scored) WHERE rk = 1),
 qprobe AS (SELECT cell FROM scored WHERE vec_id = 0
-           ORDER BY sim DESC, cell ASC LIMIT 4),
+           ORDER BY sim DESC, cell ASC LIMIT {_ANN_PROBES}),
 cand AS (SELECT vec_id FROM assign JOIN qprobe USING (cell)),
 qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 x AS (SELECT e.vec_id, CAST(e.embedding[i] AS DOUBLE) AS a,
@@ -2535,7 +2551,7 @@ x AS (SELECT e.vec_id, CAST(e.embedding[i] AS DOUBLE) AS a,
 s AS (SELECT vec_id, round(sum(a * b) /
              (sqrt(sum(a * a)) * sqrt(sum(b * b))), 5) AS cos
       FROM x GROUP BY vec_id)
-SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10
+SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {_ANN_K}
 """
 
 
@@ -3215,7 +3231,11 @@ FROM reach GROUP BY a
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, probes=4
+        emb,
+        _query_vec(spark, sf_dir),
+        k=_ANN_K,
+        n_centroids=_ANN_N_CENT,
+        probes=_ANN_PROBES,
     )
 
 

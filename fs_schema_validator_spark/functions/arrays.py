@@ -1099,10 +1099,17 @@ def ivf_pq_index_arrow(
     cnorm[cnorm == 0] = 1.0
     cn = cn / cnorm
     cb = codebooks.astype(np.float64)
-    m, ks, _sub = cb.shape
+    m, ks, sub = cb.shape
     if ks > 256:
         raise ValueError(f"ks must fit a byte, got {ks}")
     dim = cn.shape[1]
+    if m * sub != dim:
+        # fail fast: _pq_assign would silently encode only the first
+        # m*sub dims while eligibility used the centroid dim, producing
+        # codes pq_encode_arrow (dim = m*sub) would never emit
+        raise ValueError(
+            f"codebooks cover {m * sub} dims but centroids have {dim}"
+        )
     id_field = df.schema[id_col]
     out_schema = (
         f"{id_col} {id_field.dataType.simpleString()}, cell int, codes binary"

@@ -361,7 +361,11 @@ def _collect_seed_matrix(
     The zero-norm exclusion is load-bearing for oracle parity: a zero
     centroid scores cosine 0 in the kernels (guarded norm) but NULL in
     a SQL replay (dp/0), so the shared _SEED_WINDOW_SQL contract keeps
-    one out of the window on both sides."""
+    one out of the window on both sides. Null/NaN ELEMENTS are excluded
+    for the same reason with opposite polarity: np.asarray turns a None
+    element into a NaN centroid row whose scores poison every argmax
+    engine-side, while DuckDB's sum() silently skips null terms and
+    scores the same centroid normally."""
     import numpy as np
 
     rows = (
@@ -372,6 +376,9 @@ def _collect_seed_matrix(
             F.col(vec_col).isNotNull()
             & F.col(id_col).isNotNull()
             & F.exists(F.col(vec_col), lambda x: x != F.lit(0))
+            & ~F.exists(
+                F.col(vec_col), lambda x: x.isNull() | F.isnan(x)
+            )
         )
         .orderBy(F.col(id_col))
         .limit(n_centroids * 2)
@@ -751,6 +758,7 @@ def train_pq_codebooks(
     n_iter: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seed_matrix: "np.ndarray | None" = None,
 ) -> "np.ndarray":
     """(m, ks, dim/m) product-quantization codebooks: per-subspace Lloyd
     k-means over UNIT vectors (PQ for cosine lives on the unit sphere,
@@ -763,12 +771,20 @@ def train_pq_codebooks(
     Each iteration is ONE Arrow pass for ALL m subspaces
     (pq_partial_sums_arrow): per-batch (sub, cell, count, vector-sum)
     partials — O(batches × m × ks) driver rows, never O(rows) — merged
-    on the driver; empty codewords keep their previous value."""
+    on the driver; empty codewords keep their previous value.
+
+    `seed_matrix`: a caller that already collected the id-ordered seed
+    window (e.g. the coarse quantizer's, when ks <= n_centroids) can
+    pass it to skip a second full-corpus seed scan — the first ks rows
+    of the shared window are exactly what this collect would return."""
     import numpy as np
 
     from ..functions.arrays import pq_partial_sums_arrow
 
-    seed = _collect_seed_matrix(df, ks, vec_col, id_col)
+    if seed_matrix is not None and seed_matrix.shape[0] >= ks:
+        seed = np.asarray(seed_matrix, dtype=np.float64)[:ks]
+    else:
+        seed = _collect_seed_matrix(df, ks, vec_col, id_col)
     if seed.shape[0] < ks:
         raise ValueError(
             f"need {ks} seed vectors, found {seed.shape[0]}"
@@ -826,7 +842,9 @@ def ivf_pq_topk(
     )
 
     coarse = _collect_seed_matrix(df, n_centroids, vec_col, id_col)
-    cb = train_pq_codebooks(df, m, ks, n_iter, vec_col, id_col)
+    cb = train_pq_codebooks(
+        df, m, ks, n_iter, vec_col, id_col, seed_matrix=coarse
+    )
     in_cells, qn = _coarse_probe(df, coarse, query, probes, vec_col, id_col)
     sub = cb.shape[2]
     # (m, ks) ADC lookup table: squared L2 from each query subvector to
@@ -873,16 +891,20 @@ def write_pq_index(
     exact rerank of the shortlist. The Iceberg equivalent of the layout
     is an identity `cell` partition transform.
 
-    Ineligible rows (null / wrong-dimension / zero-norm vectors) are not
-    indexed — they can never be probed; the validator queries
-    (embedding_dim_violations) are the place that reports them."""
+    Ineligible rows (null id, null / wrong-dimension / zero-norm
+    vectors) are not indexed — a null-id code row could never be joined
+    back for the exact rerank, so indexing it would burn ADC shortlist
+    slots on a phantom; the validator queries (embedding_dim_violations)
+    are the place that reports bad vectors."""
     coarse = _collect_seed_matrix(df, n_centroids, vec_col, id_col)
-    cb = train_pq_codebooks(df, m, ks, n_iter, vec_col, id_col)
+    cb = train_pq_codebooks(
+        df, m, ks, n_iter, vec_col, id_col, seed_matrix=coarse
+    )
 
     from ..functions.arrays import ivf_pq_index_arrow
 
     index = ivf_pq_index_arrow(df, coarse, cb, vec_col, id_col).filter(
-        F.col("cell").isNotNull()
+        F.col("cell").isNotNull() & F.col(id_col).isNotNull()
     )
     index.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/codes"
@@ -908,6 +930,7 @@ def append_pq_index(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    skip_existing: bool = True,
 ) -> str:
     """Incrementally extend a write_pq_index layout: encode ONLY the new
     rows with the FROZEN sidecar models (no retrain — the codebooks are
@@ -916,12 +939,24 @@ def append_pq_index(
     ingest keeps a 10^12-vector index current: one Arrow pass over the
     delta, zero touches of existing files. Rebuild (write_pq_index) when
     drift vs the training sample warrants it — the drift operators
-    (histogram_psi / drift_ks) are the signal."""
+    (histogram_psi / drift_ks) are the signal.
+
+    `skip_existing` (default) makes re-runs idempotent: a retried ingest
+    of the same batch anti-joins the delta against the ids already
+    indexed, so duplicates never land and never burn ADC shortlist slots
+    at query time. The membership scan reads ONLY the id column of the
+    existing codes (column-pruned parquet; the m-byte codes and the
+    vectors stay untouched); a caller that guarantees fresh ids can pass
+    False to skip the scan."""
     from ..functions.arrays import ivf_pq_index_arrow
 
-    coarse, cb = _load_pq_model(df_new.sparkSession, path)
+    spark = df_new.sparkSession
+    if skip_existing:
+        existing = spark.read.parquet(f"{path}/codes").select(id_col)
+        df_new = df_new.join(existing, id_col, "left_anti")
+    coarse, cb = _load_pq_model(spark, path)
     index = ivf_pq_index_arrow(df_new, coarse, cb, vec_col, id_col).filter(
-        F.col("cell").isNotNull()
+        F.col("cell").isNotNull() & F.col(id_col).isNotNull()
     )
     index.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
     return path

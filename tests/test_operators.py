@@ -2105,8 +2105,11 @@ def test_ann_oracles_agree_with_zero_vector_in_seed_window(spark, tmp_path):
     Before the shared _SEED_WINDOW_SQL exclusion, the engine kept it as
     a real zero centroid (guarded norm -> cosine 0, can win over
     all-negative scores) while DuckDB's dp/0 is NULL-ranked-last — a
-    silent seed divergence. Fixture also plants a null embedding and a
-    wrong-dimension row inside the window (modal-dim filter)."""
+    silent seed divergence. Fixture also plants a null embedding, a
+    wrong-dimension row, and a NULL-ELEMENT vector inside the window
+    (np.asarray turns a None element into a NaN centroid that poisons
+    every engine argmax, while DuckDB's sum() skips null terms — the
+    opposite-polarity divergence of the zero-vector case)."""
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -2120,6 +2123,8 @@ def test_ann_oracles_agree_with_zero_vector_in_seed_window(spark, tmp_path):
             vec = None                             # null, in-window
         elif vid == 7:
             vec = [1.0] * 8                        # wrong dim, in-window
+        elif vid == 9:
+            vec = [1.0] * (dim - 1) + [None]       # null element, in-window
         else:
             vec = [
                 float(((vid * 31 + i * 7) % 13) - 6) for i in range(dim)
@@ -2148,7 +2153,9 @@ def test_ann_oracles_agree_with_zero_vector_in_seed_window(spark, tmp_path):
         )
         assert got == want, name
         assert len(got) == 10, name
-        assert 3 not in {r[0] for r in got}, name  # zero vec ineligible
+        ids = {r[0] for r in got}
+        assert 3 not in ids, name                  # zero vec ineligible
+        assert 9 not in ids, name                  # null-element ineligible
 
 
 def test_coarse_probe_tie_break_is_deterministic(spark):
@@ -2218,9 +2225,14 @@ def test_pq_index_build_query_matches_direct_and_prunes_partitions(
 
     pruned = codes.filter(F.col("cell").isin([0, 1]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "cell" in plan.split(
-        "PartitionFilters", 1
-    )[1][:200]
+    # the filter must be INSIDE the PartitionFilters bracket list — an
+    # unpartitioned regression would show 'PartitionFilters: []' with
+    # the cell filter demoted to PushedFilters (row-group, not
+    # directory-level pruning) and still contain 'cell' nearby
+    import re
+
+    mpf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert mpf is not None and "cell" in mpf.group(1), plan[:500]
 
 
 def test_pq_index_one_pass_equals_two_pass_kernels(spark):
@@ -2325,3 +2337,48 @@ def test_pq_index_append_extends_without_retraining(spark, tmp_path):
         ).collect()
     }
     assert got & {1000 + i for i in range(12)}
+
+
+def test_pq_index_append_is_idempotent_and_dim_guard(spark, tmp_path):
+    """Re-appending the same delta must be a no-op (skip_existing
+    anti-join), and ivf_pq_index_arrow must fail fast on centroid /
+    codebook dimension mismatch instead of silently half-encoding."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from fs_schema_validator_spark.functions.arrays import ivf_pq_index_arrow
+    from fs_schema_validator_spark.operators import similarity
+
+    rng = random.Random(616)
+    centers = [_vec(9500 + c) for c in range(4)]
+    base = spark.createDataFrame(
+        [
+            (i, [v + rng.uniform(-0.08, 0.08) for v in centers[i % 4]])
+            for i in range(40)
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    delta = spark.createDataFrame(
+        [
+            (1000 + i, [v + rng.uniform(-0.08, 0.08) for v in centers[1]])
+            for i in range(6)
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    path = str(tmp_path / "pq_index")
+    similarity.write_pq_index(base, path, n_centroids=8, m=8, ks=8, n_iter=2)
+    similarity.append_pq_index(delta, path)
+    similarity.append_pq_index(delta, path)       # retried ingest
+    counts = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert counts == 0
+    assert spark.read.parquet(f"{path}/codes").count() == 46
+
+    cents = np.eye(8)[:4]                          # dim 8
+    cb = np.zeros((4, 4, 1))                       # covers 4 dims only
+    with pytest.raises(ValueError, match="dims"):
+        ivf_pq_index_arrow(base, cents, cb)
