@@ -365,7 +365,13 @@ def _collect_seed_matrix(
     for the same reason with opposite polarity: np.asarray turns a None
     element into a NaN centroid row whose scores poison every argmax
     engine-side, while DuckDB's sum() silently skips null terms and
-    scores the same centroid normally."""
+    scores the same centroid normally.
+
+    Cost note: the exists()/isnan lambdas are HOFs (interpreted, no
+    codegen), but this is a once-per-TRAINING seed scan, not a query
+    path — pq_topk_from_index reads frozen models from the index
+    sidecar and never runs it; a 10^12-row deployment persists the
+    coarse centroids the same way."""
     import numpy as np
 
     rows = (
