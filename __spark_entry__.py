@@ -1494,10 +1494,21 @@ _SEED_WINDOW_SQL = f"""(SELECT * FROM (
         WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
           AND len(list_filter(embedding, x -> x <> 0)) > 0
           AND len(list_filter(embedding,
-                x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0
+                x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0
         ORDER BY vec_id LIMIT {_ANN_N_CENT * 2})
       WHERE len(embedding) = 64
       ORDER BY vec_id LIMIT {_ANN_N_CENT})"""
+
+# Shared corpus-side vector-eligibility tail for the oracles' vn CTEs —
+# mirrors the kernels' finite-positive norm mask exactly (null element →
+# count < dim; NaN/Inf element → non-finite sum of squares; zero vector
+# → sum 0). ONE definition, interpolated into every vn, for the same
+# drift-prevention reason as _SEED_WINDOW_SQL.
+_VN_ELIGIBLE_HAVING = """HAVING sum(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE)) > 0
+          AND count(CAST(embedding[i] AS DOUBLE)) = 64
+          AND isfinite(sum(CAST(embedding[i] AS DOUBLE)
+                           * CAST(embedding[i] AS DOUBLE)))"""
 
 
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1579,18 +1590,14 @@ def _ivf_pq_oracle(
     the codeword means and the LUT divide by the row norms the vn CTE
     guarantees positive."""
     parts = [
-        """vn AS (SELECT vec_id,
+        f"""vn AS (SELECT vec_id,
               sqrt(sum(CAST(embedding[i] AS DOUBLE)
                        * CAST(embedding[i] AS DOUBLE))) AS nrm
        FROM embeddings, generate_series(1, 64) g(i)
        WHERE embedding IS NOT NULL AND len(embedding) = 64
          AND vec_id IS NOT NULL
        GROUP BY vec_id
-       HAVING sum(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE)) > 0
-          AND count(CAST(embedding[i] AS DOUBLE)) = 64
-          AND NOT isnan(sum(CAST(embedding[i] AS DOUBLE)
-                            * CAST(embedding[i] AS DOUBLE))))""",
+       {_VN_ELIGIBLE_HAVING})""",
         """u AS (SELECT e.vec_id, g.i,
              CAST(e.embedding[g.i] AS DOUBLE) / v.nrm AS ux
       FROM embeddings e JOIN vn v USING (vec_id),
@@ -1706,15 +1713,11 @@ def _kmeans_pinned_oracle(
     centroid means but cannot join back here; candidate sets are
     null-id-free in both engines either way (left_semi on the id)."""
     parts = [
-        """vn AS (SELECT vec_id FROM embeddings, generate_series(1, 64) g(i)
+        f"""vn AS (SELECT vec_id FROM embeddings, generate_series(1, 64) g(i)
        WHERE embedding IS NOT NULL AND len(embedding) = 64
          AND vec_id IS NOT NULL
        GROUP BY vec_id
-       HAVING sum(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE)) > 0
-          AND count(CAST(embedding[i] AS DOUBLE)) = 64
-          AND NOT isnan(sum(CAST(embedding[i] AS DOUBLE)
-                            * CAST(embedding[i] AS DOUBLE))))""",
+       {_VN_ELIGIBLE_HAVING})""",
         f"""seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                    embedding
             FROM {_SEED_WINDOW_SQL})""",
@@ -2444,11 +2447,7 @@ cn AS (SELECT cell, sqrt(sum(CAST(embedding[i] AS DOUBLE)
 vn AS (SELECT vec_id FROM corpus, generate_series(1, 64) g(i)
        WHERE embedding IS NOT NULL AND len(embedding) = 64
        GROUP BY vec_id
-       HAVING sum(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE)) > 0
-          AND count(CAST(embedding[i] AS DOUBLE)) = 64
-          AND NOT isnan(sum(CAST(embedding[i] AS DOUBLE)
-                            * CAST(embedding[i] AS DOUBLE)))),
+       {_VN_ELIGIBLE_HAVING}),
 cdot AS (SELECT e.vec_id, c.cell,
                 sum(CAST(e.embedding[i] AS DOUBLE)
                     * CAST(c.embedding[i] AS DOUBLE)) AS dot_vc
@@ -2522,11 +2521,7 @@ cn AS (SELECT cell, sqrt(sum(CAST(embedding[i] AS DOUBLE)
 vn AS (SELECT vec_id FROM embeddings, generate_series(1, 64) g(i)
        WHERE embedding IS NOT NULL AND len(embedding) = 64
        GROUP BY vec_id
-       HAVING sum(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE)) > 0
-          AND count(CAST(embedding[i] AS DOUBLE)) = 64
-          AND NOT isnan(sum(CAST(embedding[i] AS DOUBLE)
-                            * CAST(embedding[i] AS DOUBLE)))),
+       {_VN_ELIGIBLE_HAVING}),
 cdot AS (SELECT e.vec_id, c.cell,
                 sum(CAST(e.embedding[i] AS DOUBLE)
                     * CAST(c.embedding[i] AS DOUBLE)) AS dot_vc

@@ -911,7 +911,9 @@ def ivf_assign_arrow(
         for batch in batches:
             mat, good = _fixed_dim_matrix(batch.column("_v"), dim)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            good &= norms.ravel() > 0.0
+            # finite-positive, not just positive: an Inf element gives an
+            # Inf norm whose unit row carries NaN (inf/inf) — poison for argmax
+            good &= np.isfinite(norms.ravel()) & (norms.ravel() > 0.0)
             norms[norms == 0] = 1.0
             cell = np.argmax((mat / norms) @ cn.T, axis=1).astype(np.int32)
             out = pa.array(
@@ -974,7 +976,8 @@ def ivf_partial_sums_kernel(
     dim = cn.shape[1]
     n_cent = cn.shape[0]
     mat, good = _fixed_dim_matrix(arr, dim)
-    good &= np.linalg.norm(mat, axis=1) > 0.0
+    _n = np.linalg.norm(mat, axis=1)
+    good &= np.isfinite(_n) & (_n > 0.0)
     empty = np.array([], dtype=np.int32)
     if not good.any():
         return empty, np.array([], dtype=np.int64), np.zeros((0, dim))
@@ -1005,7 +1008,7 @@ def _unit_rows_masked(
     sphere, where squared L2 is monotone in cosine: |q−v|² = 2 − 2cosθ)."""
     mat, good = _fixed_dim_matrix(arr, dim)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    good = good & (norms.ravel() > 0.0)
+    good = good & np.isfinite(norms.ravel()) & (norms.ravel() > 0.0)
     norms[norms == 0] = 1.0
     return mat / norms, good
 

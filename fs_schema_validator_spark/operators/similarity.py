@@ -383,7 +383,10 @@ def _collect_seed_matrix(
             & F.col(id_col).isNotNull()
             & F.exists(F.col(vec_col), lambda x: x != F.lit(0))
             & ~F.exists(
-                F.col(vec_col), lambda x: x.isNull() | F.isnan(x)
+                F.col(vec_col),
+                lambda x: x.isNull()
+                | F.isnan(x)
+                | (F.abs(x) == F.lit(float("inf"))),
             )
         )
         .orderBy(F.col(id_col))
@@ -781,13 +784,23 @@ def train_pq_codebooks(
 
     `seed_matrix`: a caller that already collected the id-ordered seed
     window (e.g. the coarse quantizer's, when ks <= n_centroids) can
-    pass it to skip a second full-corpus seed scan — the first ks rows
-    of the shared window are exactly what this collect would return."""
+    pass it to skip a second full-corpus seed scan; the first ks rows
+    are used. Too few rows is an ERROR, not a silent re-scan — the
+    caller chose the seeds, training on different ones behind its back
+    would be worse than failing. (On a mixed-dimension corpus the
+    2*n_centroids window's modal dim can differ from the 2*ks window's,
+    so pass a matrix only when the caller wants THESE seeds — the
+    in-package callers pass the coarse matrix precisely to pin
+    codebooks and quantizer to one sample.)"""
     import numpy as np
 
     from ..functions.arrays import pq_partial_sums_arrow
 
-    if seed_matrix is not None and seed_matrix.shape[0] >= ks:
+    if seed_matrix is not None:
+        if seed_matrix.shape[0] < ks:
+            raise ValueError(
+                f"seed_matrix has {seed_matrix.shape[0]} rows, need {ks}"
+            )
         seed = np.asarray(seed_matrix, dtype=np.float64)[:ks]
     else:
         seed = _collect_seed_matrix(df, ks, vec_col, id_col)
@@ -849,7 +862,10 @@ def ivf_pq_topk(
 
     coarse = _collect_seed_matrix(df, n_centroids, vec_col, id_col)
     cb = train_pq_codebooks(
-        df, m, ks, n_iter, vec_col, id_col, seed_matrix=coarse
+        df, m, ks, n_iter, vec_col, id_col,
+        # reuse the coarse window only when it covers ks rows; a small
+        # quantizer with a larger codebook count still collects its own
+        seed_matrix=coarse if coarse.shape[0] >= ks else None,
     )
     in_cells, qn = _coarse_probe(df, coarse, query, probes, vec_col, id_col)
     sub = cb.shape[2]
@@ -904,7 +920,10 @@ def write_pq_index(
     are the place that reports bad vectors."""
     coarse = _collect_seed_matrix(df, n_centroids, vec_col, id_col)
     cb = train_pq_codebooks(
-        df, m, ks, n_iter, vec_col, id_col, seed_matrix=coarse
+        df, m, ks, n_iter, vec_col, id_col,
+        # reuse the coarse window only when it covers ks rows; a small
+        # quantizer with a larger codebook count still collects its own
+        seed_matrix=coarse if coarse.shape[0] >= ks else None,
     )
 
     from ..functions.arrays import ivf_pq_index_arrow
@@ -953,7 +972,12 @@ def append_pq_index(
     at query time. The membership scan reads ONLY the id column of the
     existing codes (column-pruned parquet; the m-byte codes and the
     vectors stay untouched); a caller that guarantees fresh ids can pass
-    False to skip the scan."""
+    False to skip the scan. NOTE: skip means an UPDATED embedding for an
+    already-indexed id is dropped, not re-encoded — the stale codes
+    survive. Updating in place is a rewrite of that id's cell partition,
+    which parquet cannot express row-wise; route corrections through a
+    rebuild/compaction (write_pq_index), the same way an Iceberg
+    deployment would use a row-level MERGE."""
     from ..functions.arrays import ivf_pq_index_arrow
 
     spark = df_new.sparkSession

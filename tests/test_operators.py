@@ -2125,6 +2125,8 @@ def test_ann_oracles_agree_with_zero_vector_in_seed_window(spark, tmp_path):
             vec = [1.0] * 8                        # wrong dim, in-window
         elif vid == 9:
             vec = [1.0] * (dim - 1) + [None]       # null element, in-window
+        elif vid == 11:
+            vec = [1.0] * (dim - 1) + [float("inf")]  # inf elem, in-window
         else:
             vec = [
                 float(((vid * 31 + i * 7) % 13) - 6) for i in range(dim)
@@ -2156,6 +2158,7 @@ def test_ann_oracles_agree_with_zero_vector_in_seed_window(spark, tmp_path):
         ids = {r[0] for r in got}
         assert 3 not in ids, name                  # zero vec ineligible
         assert 9 not in ids, name                  # null-element ineligible
+        assert 11 not in ids, name                 # inf-element ineligible
 
 
 def test_coarse_probe_tie_break_is_deterministic(spark):
