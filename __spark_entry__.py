@@ -1485,9 +1485,10 @@ _PQ_REFINE = 4  # exact-rerank shortlist = refine * k
 # oracle — mirrors similarity._collect_seed_matrix exactly: null id/vec,
 # zero-norm vectors (a directionless vector must not seed a cosine
 # quantizer; engine-side a zero centroid scores 0 while DuckDB's dp/0 is
-# NULL-ranked-last), AND vectors with null/NaN ELEMENTS (np.asarray
+# NULL-ranked-last), AND vectors with null/NaN/Inf ELEMENTS (np.asarray
 # turns a None element into a NaN centroid that poisons every engine
-# argmax while DuckDB's sum() skips null terms) all excluded;
+# argmax while DuckDB's sum() skips null terms; an Inf norm's unit row
+# carries NaN at the Inf position) all excluded;
 # 2*n_centroids head window, modal-dim (=64) filter, first n_centroids.
 _SEED_WINDOW_SQL = f"""(SELECT * FROM (
         SELECT * FROM embeddings

@@ -982,8 +982,8 @@ def ivf_partial_sums_kernel(
     if not good.any():
         return empty, np.array([], dtype=np.int64), np.zeros((0, dim))
     mat = mat[good]
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
+    # surviving norms are finite-positive by the mask above — reuse them
+    norms = _n[good][:, None]
     cell = np.argmax((mat / norms) @ cn.T, axis=1)
     cnt = np.bincount(cell, minlength=n_cent).astype(np.int64)
     sums = np.zeros((n_cent, dim), dtype=np.float64)

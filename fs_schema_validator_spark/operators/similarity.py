@@ -361,11 +361,13 @@ def _collect_seed_matrix(
     The zero-norm exclusion is load-bearing for oracle parity: a zero
     centroid scores cosine 0 in the kernels (guarded norm) but NULL in
     a SQL replay (dp/0), so the shared _SEED_WINDOW_SQL contract keeps
-    one out of the window on both sides. Null/NaN ELEMENTS are excluded
-    for the same reason with opposite polarity: np.asarray turns a None
-    element into a NaN centroid row whose scores poison every argmax
-    engine-side, while DuckDB's sum() silently skips null terms and
-    scores the same centroid normally.
+    one out of the window on both sides. Null/NaN/Inf ELEMENTS are
+    excluded for the same reason with opposite polarity: np.asarray
+    turns a None element into a NaN centroid row whose scores poison
+    every argmax engine-side, while DuckDB's sum() silently skips null
+    terms and scores the same centroid normally; an Inf element gives
+    an Inf norm whose unit row carries NaN (inf/inf) with the same
+    asymmetry.
 
     Cost note: the exists()/isnan lambdas are HOFs (interpreted, no
     codegen), but this is a once-per-TRAINING seed scan, not a query

@@ -2106,7 +2106,8 @@ def test_ann_oracles_agree_with_zero_vector_in_seed_window(spark, tmp_path):
     a real zero centroid (guarded norm -> cosine 0, can win over
     all-negative scores) while DuckDB's dp/0 is NULL-ranked-last — a
     silent seed divergence. Fixture also plants a null embedding, a
-    wrong-dimension row, and a NULL-ELEMENT vector inside the window
+    wrong-dimension row, a NULL-ELEMENT vector, and an INF-ELEMENT
+    vector inside the window
     (np.asarray turns a None element into a NaN centroid that poisons
     every engine argmax, while DuckDB's sum() skips null terms — the
     opposite-polarity divergence of the zero-vector case)."""
