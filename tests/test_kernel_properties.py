@@ -295,3 +295,53 @@ def test_token_window_hash_kernel_property(rows, k):
                 h = (h * base + (t % mod)) % mod
             want.append(h)
         assert got[i] == want, (i, r, k)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.floats(-10, 10, allow_nan=False), min_size=0, max_size=6
+            ),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    offset=st.integers(0, 4),
+)
+def test_training_and_query_assignment_agree(rows, offset):
+    """ivf_partial_sums_kernel's per-cell counts must equal the bincount
+    of the assignment the query path would produce on the same batch —
+    if the Lloyd training pass and ivf_assign_arrow's math ever diverge
+    (eligibility, tie-break, normalization), the pinned-kmeans oracle
+    would break subtly rather than loudly."""
+    from fs_schema_validator_spark.functions.arrays import (
+        _fixed_dim_matrix,
+        ivf_partial_sums_kernel,
+    )
+
+    dim = 4
+    cents = np.array(
+        [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [1.0, 0, 0, 0]]  # dup centroid
+    )
+    arr = pa.array(rows, type=pa.list_(pa.float64()))
+    arr = arr.slice(min(offset, len(arr) - 1))
+
+    # replicate ivf_assign_arrow's compute() contract directly
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    mat, good = _fixed_dim_matrix(arr, dim)
+    norms = np.linalg.norm(mat, axis=1)
+    good = good & np.isfinite(norms) & (norms > 0.0)
+    expect = np.zeros(3, dtype=np.int64)
+    if good.any():
+        m = mat[good] / norms[good][:, None]
+        expect = np.bincount(
+            np.argmax(m @ cn.T, axis=1), minlength=3
+        ).astype(np.int64)
+
+    cells, cnt, _ = ivf_partial_sums_kernel(arr, cents)
+    got = np.zeros(3, dtype=np.int64)
+    got[cells] = cnt
+    assert (got == expect).all()
