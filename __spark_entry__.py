@@ -1573,6 +1573,74 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join (similarity.ivf_knn_join): every 100th vector
+    queries the corpus for its 5 approximate nearest neighbors in ONE
+    distributed job — the kNN-graph primitive; one cell equi-join, no
+    per-query loop. Deterministic (id-ordered seeds, stable probe and
+    rank tie-breaks), so the whole join is replayed in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_knn_join(
+        emb, q, k=5, n_centroids=_ANN_N_CENT, probes=_ANN_PROBES
+    )
+
+
+def _knn_join_oracle(k: int = 5, probes: int = _ANN_PROBES) -> str:
+    """DuckDB replay of knn_join_topk: shared seed window, corpus
+    home-cell assignment (argmax dp/nrm, cell ASC ties), per-query
+    top-`probes` probe cells, candidate cell join, exact cosine,
+    row_number per query."""
+    return f"""
+WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding
+              FROM {_SEED_WINDOW_SQL}),
+cn AS (SELECT cell, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+                             * CAST(embedding[i] AS DOUBLE))) AS nrm
+       FROM cent, generate_series(1, 64) g(i) GROUP BY cell),
+vn AS (SELECT vec_id FROM embeddings, generate_series(1, 64) g(i)
+       WHERE embedding IS NOT NULL AND len(embedding) = 64
+         AND vec_id IS NOT NULL
+       GROUP BY vec_id
+       {_VN_ELIGIBLE_HAVING}),
+cdot AS (SELECT v.vec_id, c.cell,
+                sum(CAST(e.embedding[g.i] AS DOUBLE)
+                    * CAST(c.embedding[g.i] AS DOUBLE)) AS dp
+         FROM embeddings e JOIN vn v USING (vec_id), cent c,
+              generate_series(1, 64) g(i)
+         GROUP BY v.vec_id, c.cell),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT d.vec_id, d.cell,
+                    row_number() OVER (PARTITION BY d.vec_id
+                                       ORDER BY d.dp / n.nrm DESC,
+                                                d.cell ASC) AS rk
+             FROM cdot d JOIN cn n USING (cell)) WHERE rk = 1),
+qprobe AS (SELECT vec_id AS qid, cell FROM (
+             SELECT d.vec_id, d.cell,
+                    row_number() OVER (PARTITION BY d.vec_id
+                                       ORDER BY d.dp / n.nrm DESC,
+                                                d.cell ASC) AS rk
+             FROM cdot d JOIN cn n USING (cell)
+             WHERE d.vec_id % 100 = 0) WHERE rk <= {probes}),
+cand AS (SELECT p.qid, a.vec_id FROM qprobe p JOIN assign a USING (cell)),
+x AS (SELECT c.qid, c.vec_id,
+             CAST(e.embedding[g.i] AS DOUBLE) AS a,
+             CAST(q.embedding[g.i] AS DOUBLE) AS b
+      FROM cand c
+           JOIN embeddings e ON e.vec_id = c.vec_id
+           JOIN embeddings q ON q.vec_id = c.qid,
+           generate_series(1, 64) g(i)),
+s AS (SELECT qid, vec_id, round(sum(a * b) /
+             (sqrt(sum(a * a)) * sqrt(sum(b * b))), 5) AS cos
+      FROM x GROUP BY qid, vec_id)
+SELECT qid, vec_id, cos FROM (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM s) WHERE rk <= {k}
+"""
+
+
 def _ivf_pq_oracle(
     n_iter: int = _ANN_PINNED_ITERS,
     probes: int = _ANN_PROBES,
@@ -2208,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "ann_topk_ivf_kmeans_pinned": ann_topk_ivf_kmeans_pinned,
         "ann_topk_ivf_pq": ann_topk_ivf_pq,
+        "knn_join_topk": knn_join_topk,
     }
 
 
@@ -3019,6 +3088,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_scores": _clf_oracle(),
         "ann_topk_ivf_kmeans_pinned": _kmeans_pinned_oracle(),
         "ann_topk_ivf_pq": _ivf_pq_oracle(),
+        "knn_join_topk": _knn_join_oracle(),
         "bucketed_join_stats": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
             "round(sum(o_totalprice), 4) AS sum_price "

@@ -881,6 +881,51 @@ def cosine_similarity(a, b):
     return dot / (na * nb)
 
 
+def ivf_probe_cells_arrow(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    probes: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell) — the top-`probes` cells of EVERY row by cosine to the
+    centroids, `probes` output rows per eligible input row. This is the
+    batch-query side of an IVF kNN join: where ivf_assign_arrow gives
+    each corpus vector its ONE home cell, this gives each QUERY vector
+    the cells it must search. Per-row ordering matches the single-query
+    probe contract exactly (sim DESC, cell ASC — a stable argsort of
+    -sims keeps ascending cell order on ties). Ineligible rows (null /
+    wrong-dim / zero-norm / non-finite) emit nothing."""
+    cn = centroids.astype(np.float64)
+    cnorm = np.linalg.norm(cn, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0
+    cn = cn / cnorm
+    dim = cn.shape[1]
+    p = min(probes, cn.shape[0])
+    id_field = df.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, cell int"
+    src = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            mat, good = _fixed_dim_matrix(batch.column("_v"), dim)
+            norms = np.linalg.norm(mat, axis=1)
+            good &= np.isfinite(norms) & (norms > 0.0)
+            if not good.any():
+                continue
+            u = mat[good] / norms[good][:, None]
+            order = np.argsort(-(u @ cn.T), axis=1, kind="stable")
+            cells = order[:, :p].astype(np.int32)
+            ids = batch.column(id_col).take(
+                pa.array(np.repeat(np.nonzero(good)[0], p))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(cells.ravel())], names=[id_col, "cell"]
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
 def ivf_assign_arrow(
     df: DataFrame,
     centroids: "np.ndarray",

@@ -1056,3 +1056,85 @@ def pq_topk_from_index(
     )
     finalists = corpus.join(F.broadcast(shortlist), id_col, "left_semi")
     return topk_cosine(finalists, query, k, vec_col, id_col)
+
+
+def ivf_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    probes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    digits: int = 5,
+) -> DataFrame:
+    """(qid, vec_id, cos) — approximate k nearest corpus neighbors for
+    EVERY query row in one distributed job: the batch-query (kNN-graph /
+    kNN-join) primitive the single-query ivf_topk family can't express
+    without a driver-side loop.
+
+    Shape: corpus vectors get their home cell (one Arrow matmul pass),
+    query vectors get their top-`probes` cells (ivf_probe_cells_arrow —
+    the same sim DESC, cell ASC probe contract as _probe_cells), and ONE
+    equi-join on the cell id produces the candidate pairs — no
+    cross-join, no per-query job. Exact cosine scores the candidates
+    and a per-query window keeps the top k (ties on id).
+
+    Scale shape: the only wide shuffle is the cell join; each query
+    meets ~probes/n_centroids of the corpus, exactly the single-query
+    IVF contract, and the per-cell candidate volume is the IVF
+    trade-off the probes knob already controls. With the corpus side
+    pre-partitioned by cell (the write_pq_index layout) the join
+    co-locates; queries are typically ≪ corpus and shuffle as the small
+    side. Self-matches (a query that is also a corpus row) rank first
+    at cos 1 — callers building a kNN graph filter qid != vec_id.
+
+    Fully deterministic and SQL-replayable: id-ordered seeds, stable
+    probe/assignment tie-breaks, rounded scores."""
+    from pyspark.sql import Window
+
+    from ..functions.arrays import ivf_assign_arrow, ivf_probe_cells_arrow
+
+    coarse = _collect_seed_matrix(corpus, n_centroids, vec_col, id_col)
+    corpus_cells = ivf_assign_arrow(corpus, coarse, vec_col, id_col).filter(
+        F.col("cell").isNotNull() & F.col(id_col).isNotNull()
+    )
+    q_cells = ivf_probe_cells_arrow(
+        queries.filter(F.col(id_col).isNotNull()),
+        coarse,
+        probes,
+        vec_col,
+        id_col,
+    ).withColumnRenamed(id_col, query_id_col)
+
+    cand = q_cells.join(corpus_cells, "cell").select(query_id_col, id_col)
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    cv = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
+    )
+    scored = (
+        cand.join(qv, query_id_col)
+        .join(cv, id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+                digits,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

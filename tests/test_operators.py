@@ -2386,3 +2386,44 @@ def test_pq_index_append_is_idempotent_and_dim_guard(spark, tmp_path):
     cb = np.zeros((4, 4, 1))                       # covers 4 dims only
     with pytest.raises(ValueError, match="dims"):
         ivf_pq_index_arrow(base, cents, cb)
+
+
+def test_ivf_knn_join_matches_per_query_ivf_topk(spark):
+    """The batch kNN join must return, for EVERY query id, exactly what
+    the single-query IVF path returns for that query vector (same
+    seeds, same probe contract) — including ineligible corpus rows
+    (null / wrong-dim / zero) never appearing, and self-matches ranking
+    first at cos 1."""
+    import random
+
+    from fs_schema_validator_spark.operators import similarity
+
+    rng = random.Random(717)
+    centers = [_vec(9600 + c) for c in range(4)]
+    rows = [
+        (i, [v + rng.uniform(-0.08, 0.08) for v in centers[i % 4]])
+        for i in range(60)
+    ]
+    rows += [(200, [0.25] * 5), (201, [0.0] * 64), (202, None)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 100))
+
+    joined = similarity.ivf_knn_join(
+        emb, queries, k=5, n_centroids=8, probes=3
+    ).collect()
+    by_q = {}
+    for r in joined:
+        by_q.setdefault(r.qid, []).append((r.vec_id, r.cos))
+
+    qrows = {r.vec_id: list(r.embedding) for r in queries.collect()}
+    assert set(by_q) == set(qrows)
+    for qid, qvec in qrows.items():
+        single = [
+            (r.vec_id, r.cos)
+            for r in similarity.ivf_topk(
+                emb, qvec, k=5, n_centroids=8, probes=3
+            ).collect()
+        ]
+        assert by_q[qid] == single, qid
+        assert by_q[qid][0] == (qid, 1.0)          # self-match first
+        assert {200, 201, 202} & {v for v, _ in by_q[qid]} == set()

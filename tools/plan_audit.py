@@ -432,6 +432,17 @@ def main() -> None:
         )
     )
 
+    # batch kNN join: candidates from ONE cell equi-join (two Arrow
+    # assignment passes), never a cross-join of queries x corpus
+    sections.append(
+        audit(
+            "knn_join_topk (batch IVF kNN join, cell equi-join)",
+            qs["knn_join_topk"](spark, SF_DIR),
+            {"plan_contains": "MapInArrow", "max_exchanges": 6,
+             "plan_excludes": "CartesianProduct"},
+        )
+    )
+
     md = ["# PLANS — physical-plan audit\n",
           "Generated by `tools/plan_audit.py` at sf0.01 / n=1000 synth.",
           "Expectations are asserted; FAIL lines are plan regressions.\n"]
