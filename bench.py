@@ -80,6 +80,7 @@ HEADLINE = [
     "ann_topk_ivf_pq",
     "ann_topk_ivf_kmeans_pinned",
     "token_ngram_dedup_clean",
+    "knn_join_topk",
 ]
 
 # Timed and reported in `queries`, but EXCLUDED from the summed headline
@@ -100,6 +101,7 @@ VALUE_EXCLUDED = {
     "ann_topk_ivf_pq",
     "ann_topk_ivf_kmeans_pinned",
     "token_ngram_dedup_clean",
+    "knn_join_topk",
 }
 
 SEQ_RULES = r"""
