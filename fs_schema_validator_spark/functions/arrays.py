@@ -908,12 +908,12 @@ def ivf_probe_cells_arrow(
 
     def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            mat, good = _fixed_dim_matrix(batch.column("_v"), dim)
-            norms = np.linalg.norm(mat, axis=1)
-            good &= np.isfinite(norms) & (norms > 0.0)
+            # shared cosine-family eligibility contract — do not inline
+            # (a contract change in the helper must reach this kernel)
+            un, good = _unit_rows_masked(batch.column("_v"), dim)
             if not good.any():
                 continue
-            u = mat[good] / norms[good][:, None]
+            u = un[good]
             order = np.argsort(-(u @ cn.T), axis=1, kind="stable")
             cells = order[:, :p].astype(np.int32)
             ids = batch.column(id_col).take(

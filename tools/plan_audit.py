@@ -438,7 +438,7 @@ def main() -> None:
         audit(
             "knn_join_topk (batch IVF kNN join, cell equi-join)",
             qs["knn_join_topk"](spark, SF_DIR),
-            {"plan_contains": "MapInArrow", "max_exchanges": 6,
+            {"plan_contains": "MapInArrow", "max_exchanges": 2,
              "plan_excludes": "CartesianProduct"},
         )
     )
