@@ -1068,6 +1068,7 @@ def ivf_knn_join(
     id_col: str = "vec_id",
     query_id_col: str = "qid",
     digits: int = 5,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """(qid, vec_id, cos) — approximate k nearest corpus neighbors for
     EVERY query row in one distributed job: the batch-query (kNN-graph /
@@ -1096,7 +1097,14 @@ def ivf_knn_join(
 
     from ..functions.arrays import ivf_assign_arrow, ivf_probe_cells_arrow
 
-    coarse = _collect_seed_matrix(corpus, n_centroids, vec_col, id_col)
+    # a trained quantizer (train_centroids_kmeans) spreads hot cells —
+    # the mitigation when the seed sample would crowd one cell; the SQL-
+    # replayable driver gate uses the deterministic seed default
+    coarse = (
+        centroids
+        if centroids is not None
+        else _collect_seed_matrix(corpus, n_centroids, vec_col, id_col)
+    )
     corpus_cells = ivf_assign_arrow(corpus, coarse, vec_col, id_col).filter(
         F.col("cell").isNotNull() & F.col(id_col).isNotNull()
     )
