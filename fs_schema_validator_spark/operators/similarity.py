@@ -1058,6 +1058,95 @@ def pq_topk_from_index(
     return topk_cosine(finalists, query, k, vec_col, id_col)
 
 
+def pq_knn_join(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    probes: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    digits: int = 5,
+) -> DataFrame:
+    """(qid, vec_id, cos) — batch kNN against a write_pq_index layout:
+    the kNN-graph primitive at the standing index's cost model. Query
+    vectors get their probe cells from the frozen sidecar centroids (no
+    corpus seed scan, no training); candidates come from ONE cell
+    equi-join of (qid, cell) against the cell-partitioned code table;
+    candidates are ranked by pairwise ADC over the m-BYTE codes
+    (pq_adc_pairs_arrow — the candidate join ships codes, not dim×4
+    float vectors); only each query's refine·k shortlist fetches raw
+    corpus vectors for the exact-cosine rerank.
+
+    vs ivf_knn_join (exact scoring of every candidate): same join
+    shape, but the wide side's payload shrinks ~dim·4/m-fold and the
+    corpus vector fetch drops from O(candidates) to O(queries·refine·k)
+    — the difference between shuffling 256 B and 8 B per candidate at
+    10^12 scale. Self-matches rank first (their ADC is the query's own
+    quantization error); callers building a graph filter qid != id."""
+    from pyspark.sql import Window
+
+    from ..functions.arrays import ivf_probe_cells_arrow, pq_adc_pairs_arrow
+
+    coarse, cb = _load_pq_model(spark, path)
+    q_cells = ivf_probe_cells_arrow(
+        queries.filter(F.col(id_col).isNotNull()),
+        coarse,
+        probes,
+        vec_col,
+        id_col,
+    ).withColumnRenamed(id_col, query_id_col)
+    codes = spark.read.parquet(f"{path}/codes")
+    cand = q_cells.join(codes, "cell").select(query_id_col, id_col, "codes")
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
+    )
+    pairs = cand.join(qv, query_id_col)
+    scored = pq_adc_pairs_arrow(
+        pairs, cb, "_qv", "codes", query_id_col, id_col
+    ).filter(F.col("adist").isNotNull())
+    w_short = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adist"), F.asc(id_col)
+    )
+    shortlist = (
+        scored.withColumn("_rn", F.row_number().over(w_short))
+        .filter(F.col("_rn") <= refine * k)
+        .select(query_id_col, id_col)
+    )
+    qv2 = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qd"),
+    )
+    cv = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cd"),
+    )
+    reranked = (
+        shortlist.join(qv2, query_id_col)
+        .join(cv, id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                _dot(F.col("_qd"), F.col("_cd"))
+                / (_norm(F.col("_qd")) * _norm(F.col("_cd"))),
+                digits,
+            ).alias("cos"),
+        )
+    )
+    w_final = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    return (
+        reranked.withColumn("_rn", F.row_number().over(w_final))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def ivf_knn_join(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2427,3 +2427,43 @@ def test_ivf_knn_join_matches_per_query_ivf_topk(spark):
         assert by_q[qid] == single, qid
         assert by_q[qid][0] == (qid, 1.0)          # self-match first
         assert {200, 201, 202} & {v for v, _ in by_q[qid]} == set()
+
+
+def test_pq_knn_join_matches_per_query_index_topk(spark, tmp_path):
+    """The PQ batch kNN join must return, per query id, exactly what the
+    single-query pq_topk_from_index path returns against the same index
+    (same sidecar models, probe contract, ADC math, rerank)."""
+    import random
+
+    from fs_schema_validator_spark.operators import similarity
+
+    rng = random.Random(818)
+    centers = [_vec(9700 + c) for c in range(4)]
+    rows = [
+        (i, [v + rng.uniform(-0.08, 0.08) for v in centers[i % 4]])
+        for i in range(60)
+    ]
+    rows += [(201, [0.0] * 64), (202, None)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "pq_index")
+    similarity.write_pq_index(emb, path, n_centroids=8, m=8, ks=8, n_iter=2)
+
+    queries = emb.filter((F.col("vec_id") % 15 == 0) & (F.col("vec_id") < 100))
+    joined = similarity.pq_knn_join(
+        spark, path, queries, emb, k=5, probes=3, refine=4
+    ).collect()
+    by_q = {}
+    for r in joined:
+        by_q.setdefault(r.qid, []).append((r.vec_id, r.cos))
+
+    qrows = {r.vec_id: list(r.embedding) for r in queries.collect()}
+    assert set(by_q) == set(qrows)
+    for qid, qvec in qrows.items():
+        single = [
+            (r.vec_id, r.cos)
+            for r in similarity.pq_topk_from_index(
+                spark, path, qvec, emb, k=5, probes=3, refine=4
+            ).collect()
+        ]
+        assert by_q[qid] == single, qid
+        assert by_q[qid][0] == (qid, 1.0)
