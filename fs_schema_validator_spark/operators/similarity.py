@@ -1124,9 +1124,12 @@ def pq_knn_join(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cd"),
     )
+    # the shortlist is <= |queries|*refine*k rows — broadcast it so the
+    # corpus-side vector fetch is a broadcast join, never a corpus shuffle
     reranked = (
-        shortlist.join(qv2, query_id_col)
-        .join(cv, id_col)
+        cv.join(
+            F.broadcast(shortlist.join(qv2, query_id_col)), id_col
+        )
         .select(
             query_id_col,
             id_col,
