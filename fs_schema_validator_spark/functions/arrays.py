@@ -1285,11 +1285,16 @@ def pq_adc_pairs_arrow(
                     np.int64
                 )
                 u = un[good]
-                acc = np.zeros(len(u))
+                # per-subspace partials summed with np.sum over the m
+                # axis — the SAME reduction shape as the single-query
+                # LUT path (lt[...].sum(axis=1)); a sequential acc +=
+                # has a different fp association order and can flip a
+                # last-ulp tie at the refine shortlist boundary
+                parts = np.empty((len(u), m))
                 for s in range(m):
                     diff = u[:, s * sub : (s + 1) * sub] - cb[s, codes[:, s]]
-                    acc += (diff * diff).sum(axis=1)
-                adist[good] = acc
+                    parts[:, s] = (diff * diff).sum(axis=1)
+                adist[good] = parts.sum(axis=1)
             out = pa.array(
                 np.ma.masked_array(adist, mask=~good), type=pa.float64()
             )

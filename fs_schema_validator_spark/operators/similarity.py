@@ -1058,6 +1058,24 @@ def pq_topk_from_index(
     return topk_cosine(finalists, query, k, vec_col, id_col)
 
 
+def _per_query_topk(
+    scored: DataFrame, query_id_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Keep each query's top k by (cos DESC, id ASC) — the ONE copy of
+    the kNN-join rank tail; its tie-break is an oracle-parity contract
+    (ORDER BY cos DESC, vec_id ASC in the SQL replays)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def pq_knn_join(
     spark,
     path: str,
@@ -1101,12 +1119,16 @@ def pq_knn_join(
     ).withColumnRenamed(id_col, query_id_col)
     codes = spark.read.parquet(f"{path}/codes")
     cand = q_cells.join(codes, "cell").select(query_id_col, id_col, "codes")
+    # ONE query-vector projection serves both the ADC kernel and the
+    # rerank (the queries lineage is evaluated for probes + this, not
+    # three times — the don't-refeed-expensive-lineage rule)
     qv = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias(query_id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qd"),
     )
     pairs = cand.join(qv, query_id_col)
     scored = pq_adc_pairs_arrow(
-        pairs, cb, "_qv", "codes", query_id_col, id_col
+        pairs, cb, "_qd", "codes", query_id_col, id_col
     ).filter(F.col("adist").isNotNull())
     w_short = Window.partitionBy(query_id_col).orderBy(
         F.asc("adist"), F.asc(id_col)
@@ -1116,38 +1138,24 @@ def pq_knn_join(
         .filter(F.col("_rn") <= refine * k)
         .select(query_id_col, id_col)
     )
-    qv2 = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qd"),
-    )
     cv = corpus.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cd"),
     )
-    # the shortlist is <= |queries|*refine*k rows — broadcast it so the
-    # corpus-side vector fetch is a broadcast join, never a corpus shuffle
-    reranked = (
-        cv.join(
-            F.broadcast(shortlist.join(qv2, query_id_col)), id_col
-        )
-        .select(
-            query_id_col,
-            id_col,
-            F.round(
-                _dot(F.col("_qd"), F.col("_cd"))
-                / (_norm(F.col("_qd")) * _norm(F.col("_cd"))),
-                digits,
-            ).alias("cos"),
-        )
+    # the shortlist is <= |queries|*refine*k (qid, id) pairs; no hard
+    # broadcast hint — at small Q AQE converts the corpus-side fetch to
+    # a broadcast join at runtime, and at kNN-graph scale (queries ==
+    # corpus) a hard hint would blow Spark's broadcast-table limit
+    reranked = cv.join(shortlist, id_col).join(qv, query_id_col).select(
+        query_id_col,
+        id_col,
+        F.round(
+            _dot(F.col("_qd"), F.col("_cd"))
+            / (_norm(F.col("_qd")) * _norm(F.col("_cd"))),
+            digits,
+        ).alias("cos"),
     )
-    w_final = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cos"), F.asc(id_col)
-    )
-    return (
-        reranked.withColumn("_rn", F.row_number().over(w_final))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _per_query_topk(reranked, query_id_col, id_col, k)
 
 
 def ivf_knn_join(
@@ -1185,18 +1193,26 @@ def ivf_knn_join(
 
     Fully deterministic and SQL-replayable: id-ordered seeds, stable
     probe/assignment tie-breaks, rounded scores."""
-    from pyspark.sql import Window
-
     from ..functions.arrays import ivf_assign_arrow, ivf_probe_cells_arrow
 
     # a trained quantizer (train_centroids_kmeans) spreads hot cells —
     # the mitigation when the seed sample would crowd one cell; the SQL-
     # replayable driver gate uses the deterministic seed default
-    coarse = (
-        centroids
-        if centroids is not None
-        else _collect_seed_matrix(corpus, n_centroids, vec_col, id_col)
-    )
+    if centroids is not None:
+        import numpy as np
+
+        centroids = np.asarray(centroids, dtype=np.float64)
+        if centroids.ndim != 2 or centroids.size == 0:
+            raise ValueError(
+                f"centroids must be a non-empty 2-D matrix, got shape "
+                f"{centroids.shape}"
+            )
+        # a wrong-dimension matrix would silently mask EVERY corpus row
+        # as ineligible and return an empty graph; n_centroids is
+        # superseded by the matrix
+        coarse = centroids
+    else:
+        coarse = _collect_seed_matrix(corpus, n_centroids, vec_col, id_col)
     corpus_cells = ivf_assign_arrow(corpus, coarse, vec_col, id_col).filter(
         F.col("cell").isNotNull() & F.col(id_col).isNotNull()
     )
@@ -1230,11 +1246,4 @@ def ivf_knn_join(
             ).alias("cos"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cos"), F.asc(id_col)
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _per_query_topk(scored, query_id_col, id_col, k)

@@ -2467,3 +2467,51 @@ def test_pq_knn_join_matches_per_query_index_topk(spark, tmp_path):
         ]
         assert by_q[qid] == single, qid
         assert by_q[qid][0] == (qid, 1.0)
+        # a shared eligibility regression letting the zero/null rows
+        # into the index would keep parity green on BOTH paths — pin it
+        assert {201, 202} & {v for v, _ in by_q[qid]} == set()
+
+
+def test_ivf_knn_join_accepts_trained_quantizer(spark):
+    """The centroids override must match the per-query probe path with
+    the SAME matrix, and malformed matrices must fail fast instead of
+    silently returning an empty graph."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from fs_schema_validator_spark.operators import similarity
+
+    rng = random.Random(919)
+    centers = [_vec(9800 + c) for c in range(4)]
+    rows = [
+        (i, [v + rng.uniform(-0.08, 0.08) for v in centers[i % 4]])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = similarity.train_centroids_kmeans(emb, n_centroids=4, n_iter=2)
+
+    joined = similarity.ivf_knn_join(
+        emb, queries, k=3, probes=2, centroids=cents
+    ).collect()
+    by_q = {}
+    for r in joined:
+        by_q.setdefault(r.qid, []).append((r.vec_id, r.cos))
+    qrows = {r.vec_id: list(r.embedding) for r in queries.collect()}
+    assert set(by_q) == set(qrows)
+    for qid, qvec in qrows.items():
+        single = [
+            (r.vec_id, r.cos)
+            for r in similarity._probe_topk(
+                emb, cents, qvec, k=3, probes=2,
+                vec_col="embedding", id_col="vec_id",
+            ).collect()
+        ]
+        assert by_q[qid] == single, qid
+
+    with pytest.raises(ValueError, match="2-D"):
+        similarity.ivf_knn_join(
+            emb, queries, centroids=np.array([], dtype=np.float64)
+        )
