@@ -887,6 +887,7 @@ def ivf_probe_cells_arrow(
     probes: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cell) — the top-`probes` cells of EVERY row by cosine to the
     centroids, `probes` output rows per eligible input row. This is the
@@ -895,7 +896,12 @@ def ivf_probe_cells_arrow(
     the cells it must search. Per-row ordering matches the single-query
     probe contract exactly (sim DESC, cell ASC — a stable argsort of
     -sims keeps ascending cell order on ties). Ineligible rows (null /
-    wrong-dim / zero-norm / non-finite) emit nothing."""
+    wrong-dim / zero-norm / non-finite) emit nothing.
+
+    ``keep_vec=True`` passes the raw vector through as ``_v`` — the
+    cogrouped cell scorer consumes (id, cell, _v) directly, so the
+    query lineage never needs an id-keyed join-back to refetch its own
+    vectors (mapInArrow can carry payload columns for free)."""
     cn = centroids.astype(np.float64)
     cnorm = np.linalg.norm(cn, axis=1, keepdims=True)
     cnorm[cnorm == 0] = 1.0
@@ -904,6 +910,9 @@ def ivf_probe_cells_arrow(
     p = min(probes, cn.shape[0])
     id_field = df.schema[id_col]
     out_schema = f"{id_col} {id_field.dataType.simpleString()}, cell int"
+    if keep_vec:
+        vec_field = df.schema[vec_col]
+        out_schema += f", _v {vec_field.dataType.simpleString()}"
     src = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
 
     def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -916,12 +925,14 @@ def ivf_probe_cells_arrow(
             u = un[good]
             order = np.argsort(-(u @ cn.T), axis=1, kind="stable")
             cells = order[:, :p].astype(np.int32)
-            ids = batch.column(id_col).take(
-                pa.array(np.repeat(np.nonzero(good)[0], p))
-            )
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(cells.ravel())], names=[id_col, "cell"]
-            )
+            take = pa.array(np.repeat(np.nonzero(good)[0], p))
+            ids = batch.column(id_col).take(take)
+            cols = [ids, pa.array(cells.ravel())]
+            names = [id_col, "cell"]
+            if keep_vec:
+                cols.append(batch.column("_v").take(take))
+                names.append("_v")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return src.mapInArrow(compute, out_schema)
 
@@ -931,6 +942,7 @@ def ivf_assign_arrow(
     centroids: "np.ndarray",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cell) IVF coarse-quantizer assignment: argmax cosine against the
     centroid matrix, one BLAS matmul per Arrow batch (rows×dim @
@@ -942,7 +954,12 @@ def ivf_assign_arrow(
     (excluded from every probe) instead of a garbage assignment — a zero
     vector has no direction, so cosine against it is undefined; treating
     it as ineligible keeps the kernel, the pairs strategy, and the SQL
-    oracles on one contract instead of three (0 vs NaN vs null)."""
+    oracles on one contract instead of three (0 vs NaN vs null).
+
+    ``keep_vec=True`` passes the raw vector through as ``_v`` so the
+    cogrouped cell scorer shuffles (id, cell, vec) straight into its
+    cell — no id-keyed join-back against the corpus to refetch
+    vectors."""
     cn = centroids.astype(np.float64)
     cnorm = np.linalg.norm(cn, axis=1, keepdims=True)
     cnorm[cnorm == 0] = 1.0  # a zero centroid must not NaN-poison argmax
@@ -950,6 +967,9 @@ def ivf_assign_arrow(
     dim = cn.shape[1]
     id_field = df.schema[id_col]
     out_schema = f"{id_col} {id_field.dataType.simpleString()}, cell int"
+    if keep_vec:
+        vec_field = df.schema[vec_col]
+        out_schema += f", _v {vec_field.dataType.simpleString()}"
     src = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
 
     def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -964,9 +984,12 @@ def ivf_assign_arrow(
             out = pa.array(
                 np.ma.masked_array(cell, mask=~good), type=pa.int32()
             )
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(id_col), out], names=[id_col, "cell"]
-            )
+            cols = [batch.column(id_col), out]
+            names = [id_col, "cell"]
+            if keep_vec:
+                cols.append(batch.column("_v"))
+                names.append("_v")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return src.mapInArrow(compute, out_schema)
 
@@ -1344,3 +1367,193 @@ def pq_adc_scores_arrow(
             )
 
     return src.mapInArrow(compute, out_schema)
+
+
+def pairwise_cosine_arrow(
+    pairs_df: DataFrame,
+    dim: int,
+    qvec_col: str,
+    cvec_col: str,
+    query_id_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(qid, id, cos double) exact cosine for CANDIDATE PAIRS — the
+    exact-scoring sibling of ``pq_adc_pairs_arrow`` with the same
+    (qid, id, vectors) join shape: each row carries a query vector and
+    a corpus vector and one vectorized pass computes
+    ``dot(q, c) / (|q| * |c|)`` per batch.
+
+    This replaces the ``zip_with``/``aggregate`` HOF-lambda cosine on
+    corpus-wide candidate streams: Spark HOF lambdas are interpreted
+    (non-codegen) and at kNN-graph scale (queries == corpus) the
+    candidate stream is ~N·probes·avg_cell pairs, so the per-pair
+    interpreter cost is the dominant CPU term (measured ≥2× in
+    tools/bench_pairwise_cosine.py). Semantics mirror the HOF
+    expression: a null / wrong-dimension vector on either side → NULL
+    (zip_with length-pads with null), and non-finite arithmetic
+    propagates as IEEE values. One deliberate divergence: a zero norm
+    product → NULL here, where the ANSI-mode HOF division would abort
+    the whole job with DIVIDE_BY_ZERO — degrading the one bad pair
+    beats killing a corpus-wide stage, and the kNN joins' upstream
+    eligibility masks (ivf_assign/probe) make both branches
+    unreachable anyway. The output is UNROUNDED — callers apply
+    ``F.round`` Spark-side so the oracle rounding contract
+    (half-away-from-zero) is untouched. Upstream candidate generation
+    (ivf_assign/probe) already drops ineligible vectors, so the masked
+    classes never reach this kernel in the kNN joins; the mask is
+    defense in depth, not a semantic fork.
+    """
+    q_field = pairs_df.schema[query_id_col]
+    id_field = pairs_df.schema[id_col]
+    out_schema = (
+        f"{query_id_col} {q_field.dataType.simpleString()}, "
+        f"{id_col} {id_field.dataType.simpleString()}, cos double"
+    )
+    src = pairs_df.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col(qvec_col).alias("_qv"),
+        F.col(cvec_col).alias("_cv"),
+    )
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            qm, qgood = _fixed_dim_matrix(batch.column("_qv"), dim)
+            cm, cgood = _fixed_dim_matrix(batch.column("_cv"), dim)
+            good = qgood & cgood
+            cos = np.full(len(qm), np.nan)
+            if good.any():
+                q = qm[good]
+                c = cm[good]
+                denom = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+                dot = np.einsum("ij,ij->i", q, c)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos[good] = dot / denom
+                # zero divisor → NULL (see docstring: ANSI Spark would
+                # abort the job here; degrade per-row instead)
+                zero = np.zeros(len(qm), dtype=bool)
+                zero[good] = denom == 0.0
+                good = good & ~zero
+            out = pa.array(
+                np.ma.masked_array(cos, mask=~good), type=pa.float64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(query_id_col), batch.column(id_col), out],
+                names=[query_id_col, id_col, "cos"],
+            )
+
+    return src.mapInArrow(compute, out_schema)
+
+
+def cell_cosine_pairs_arrow(
+    q_cells: DataFrame,
+    c_cells: DataFrame,
+    dim: int,
+    query_id_col: str,
+    id_col: str,
+    corpus_blocks: int = 1,
+) -> DataFrame:
+    """(qid, id, cos double) — ALL (query, corpus) cosine pairs within
+    each IVF cell, scored as one BLAS block matmul per cell: the
+    candidate-generation AND scoring stage of the batch kNN join fused
+    into a single cogroup.
+
+    Inputs are the keep_vec outputs of ivf_probe_cells_arrow /
+    ivf_assign_arrow: (id, cell, _v). Why cogroup instead of the
+    equi-join + per-pair scoring the round-4 engine used: a per-pair
+    scorer — HOF lambda or Arrow kernel — materializes both vectors on
+    EVERY candidate row, so the shuffle and the Python IPC pay
+    dim×4 bytes × candidates (measured: the Arrow pair kernel's compute
+    is 1.6 µs/row but shipping 2×256 B per pair makes it NET SLOWER
+    than the interpreted HOF expression). Here each corpus vector
+    crosses the wire once per home cell and each query vector once per
+    probe, the per-cell score block is one unit-normalized matmul
+    (rows ship as float32; the kernel widens to float64), and only the
+    (qid, id, cos) triple — ~24 B — is emitted per pair. At
+    10^12-vector scale that is the difference between shuffling
+    candidates × 512 B and corpus × 260 B.
+
+    ``corpus_blocks`` bounds hot-cell tasks: the corpus side is salted
+    into ``pmod(xxhash64(id), blocks)`` sub-blocks and queries are
+    replicated to every block, so one giant cell becomes `blocks`
+    bounded tasks (queries × cell_members output is unchanged —
+    identical result, more parallelism). Eligibility (null / wrong-dim
+    / zero-norm) was enforced upstream by the assign/probe kernels;
+    this kernel re-masks defensively because its vectors arrive via a
+    shuffle, not a trusted lineage."""
+    q_field = q_cells.schema[query_id_col]
+    id_field = c_cells.schema[id_col]
+    out_schema = (
+        f"{query_id_col} {q_field.dataType.simpleString()}, "
+        f"{id_col} {id_field.dataType.simpleString()}, cos double"
+    )
+    keys = ["cell"]
+    if corpus_blocks > 1:
+        c_cells = c_cells.withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(corpus_blocks))
+        )
+        q_cells = q_cells.withColumn(
+            "_blk",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(corpus_blocks - 1).cast("long"),
+                )
+            ),
+        )
+        keys = ["cell", "_blk"]
+    chunk = 4096
+
+    def score(left: pa.Table, right: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                query_id_col: pa.array(
+                    [], type=left.schema.field(query_id_col).type
+                ),
+                id_col: pa.array([], type=right.schema.field(id_col).type),
+                "cos": pa.array([], type=pa.float64()),
+            }
+        )
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        uq, gq = _unit_rows_masked(left.column("_v").combine_chunks(), dim)
+        uc, gc = _unit_rows_masked(right.column("_v").combine_chunks(), dim)
+        qi = np.nonzero(gq)[0]
+        ci = np.nonzero(gc)[0]
+        if not len(qi) or not len(ci):
+            return empty
+        uq, uc = uq[qi], uc[ci]
+        qids = left.column(query_id_col).combine_chunks()
+        cids = right.column(id_col).combine_chunks()
+        out_q, out_c, out_s = [], [], []
+        # chunk the query side so the score block stays bounded
+        # (chunk × cell_members float64; corpus_blocks bounds the
+        # members term on hot cells)
+        for lo in range(0, len(qi), chunk):
+            qs = slice(lo, lo + chunk)
+            s = uq[qs] @ uc.T
+            nq = s.shape[0]
+            out_q.append(
+                qids.take(pa.array(np.repeat(qi[qs], len(ci))))
+            )
+            out_c.append(cids.take(pa.array(np.tile(ci, nq))))
+            out_s.append(pa.array(s.ravel(), type=pa.float64()))
+        return pa.table(
+            {
+                query_id_col: pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in out_q]
+                ),
+                id_col: pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in out_c]
+                ),
+                "cos": pa.concat_arrays(out_s),
+            }
+        )
+
+    return (
+        q_cells.groupBy(*keys)
+        .cogroup(c_cells.groupBy(*keys))
+        .applyInArrow(score, out_schema)
+    )

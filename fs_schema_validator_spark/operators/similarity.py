@@ -1107,7 +1107,11 @@ def pq_knn_join(
     quantization error); callers building a graph filter qid != id."""
     from pyspark.sql import Window
 
-    from ..functions.arrays import ivf_probe_cells_arrow, pq_adc_pairs_arrow
+    from ..functions.arrays import (
+        ivf_probe_cells_arrow,
+        pairwise_cosine_arrow,
+        pq_adc_pairs_arrow,
+    )
 
     coarse, cb = _load_pq_model(spark, path)
     q_cells = ivf_probe_cells_arrow(
@@ -1123,8 +1127,7 @@ def pq_knn_join(
     # rerank (the queries lineage is evaluated for probes + this, not
     # three times — the don't-refeed-expensive-lineage rule)
     qv = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qd"),
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qd")
     )
     pairs = cand.join(qv, query_id_col)
     scored = pq_adc_pairs_arrow(
@@ -1138,22 +1141,17 @@ def pq_knn_join(
         .filter(F.col("_rn") <= refine * k)
         .select(query_id_col, id_col)
     )
-    cv = corpus.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cd"),
-    )
+    cv = corpus.select(F.col(id_col), F.col(vec_col).alias("_cd"))
     # the shortlist is <= |queries|*refine*k (qid, id) pairs; no hard
     # broadcast hint — at small Q AQE converts the corpus-side fetch to
     # a broadcast join at runtime, and at kNN-graph scale (queries ==
     # corpus) a hard hint would blow Spark's broadcast-table limit
-    reranked = cv.join(shortlist, id_col).join(qv, query_id_col).select(
-        query_id_col,
-        id_col,
-        F.round(
-            _dot(F.col("_qd"), F.col("_cd"))
-            / (_norm(F.col("_qd")) * _norm(F.col("_cd"))),
-            digits,
-        ).alias("cos"),
+    rerank_pairs = cv.join(shortlist, id_col).join(qv, query_id_col)
+    reranked = pairwise_cosine_arrow(
+        rerank_pairs, cb.shape[0] * cb.shape[2], "_qd", "_cd",
+        query_id_col, id_col,
+    ).select(
+        query_id_col, id_col, F.round(F.col("cos"), digits).alias("cos")
     )
     return _per_query_topk(reranked, query_id_col, id_col, k)
 
@@ -1169,32 +1167,55 @@ def ivf_knn_join(
     query_id_col: str = "qid",
     digits: int = 5,
     centroids: "np.ndarray | None" = None,
+    scoring: str = "cell",
+    corpus_blocks: int = 1,
 ) -> DataFrame:
     """(qid, vec_id, cos) — approximate k nearest corpus neighbors for
     EVERY query row in one distributed job: the batch-query (kNN-graph /
     kNN-join) primitive the single-query ivf_topk family can't express
     without a driver-side loop.
 
-    Shape: corpus vectors get their home cell (one Arrow matmul pass),
-    query vectors get their top-`probes` cells (ivf_probe_cells_arrow —
-    the same sim DESC, cell ASC probe contract as _probe_cells), and ONE
-    equi-join on the cell id produces the candidate pairs — no
-    cross-join, no per-query job. Exact cosine scores the candidates
-    and a per-query window keeps the top k (ties on id).
+    Shape (scoring="cell", the default): corpus vectors get their home
+    cell, query vectors their top-`probes` cells — both keep_vec Arrow
+    passes, so (id, cell, vec) shuffles straight into the cell with no
+    id-keyed vector refetch — and ONE cogroup on the cell id both
+    generates and scores the candidates as per-cell BLAS block matmuls
+    (cell_cosine_pairs_arrow). No cross-join, no per-query job, and no
+    per-pair vector materialization: each corpus vector crosses the
+    wire once, each query vector `probes` times, and the per-pair
+    payload is the 24-byte (qid, id, cos) triple. A per-query window
+    keeps the top k (ties on id).
 
-    Scale shape: the only wide shuffle is the cell join; each query
-    meets ~probes/n_centroids of the corpus, exactly the single-query
-    IVF contract, and the per-cell candidate volume is the IVF
-    trade-off the probes knob already controls. With the corpus side
-    pre-partitioned by cell (the write_pq_index layout) the join
-    co-locates; queries are typically ≪ corpus and shuffle as the small
-    side. Self-matches (a query that is also a corpus row) rank first
-    at cos 1 — callers building a kNN graph filter qid != vec_id.
+    scoring="pairs" keeps the round-4 shape — cell equi-join then a
+    per-pair Arrow kernel (pairwise_cosine_arrow) over candidates
+    carrying both vectors. Measured (tools/bench_knn_scoring.py): the
+    pair stream ships dim×4 B per vector per candidate, which makes it
+    net slower than the cogroup at every probed size; it stays as the
+    A/B reference and for callers whose candidate stream is already
+    materialized.
+
+    Scale shape: the only corpus-wide shuffle is the cell cogroup;
+    each query meets ~probes/n_centroids of the corpus, exactly the
+    single-query IVF contract. Hot cells are bounded two ways: a
+    trained quantizer (`centroids=`) spreads them, and
+    ``corpus_blocks > 1`` salts each cell into bounded sub-blocks
+    (identical output, more tasks). Self-matches (a query that is also
+    a corpus row) rank first at cos 1 — callers building a kNN graph
+    filter qid != vec_id.
 
     Fully deterministic and SQL-replayable: id-ordered seeds, stable
-    probe/assignment tie-breaks, rounded scores."""
-    from ..functions.arrays import ivf_assign_arrow, ivf_probe_cells_arrow
+    probe/assignment tie-breaks, rounded scores (both scorings emit
+    identical rounded rows — the driver gate `knn_join_topk` holds
+    either way)."""
+    from ..functions.arrays import (
+        cell_cosine_pairs_arrow,
+        ivf_assign_arrow,
+        ivf_probe_cells_arrow,
+        pairwise_cosine_arrow,
+    )
 
+    if scoring not in ("cell", "pairs"):
+        raise ValueError(f"scoring must be 'cell' or 'pairs', got {scoring!r}")
     # a trained quantizer (train_centroids_kmeans) spreads hot cells —
     # the mitigation when the seed sample would crowd one cell; the SQL-
     # replayable driver gate uses the deterministic seed default
@@ -1213,37 +1234,43 @@ def ivf_knn_join(
         coarse = centroids
     else:
         coarse = _collect_seed_matrix(corpus, n_centroids, vec_col, id_col)
-    corpus_cells = ivf_assign_arrow(corpus, coarse, vec_col, id_col).filter(
-        F.col("cell").isNotNull() & F.col(id_col).isNotNull()
-    )
+    keep = scoring == "cell"
+    corpus_cells = ivf_assign_arrow(
+        corpus, coarse, vec_col, id_col, keep_vec=keep
+    ).filter(F.col("cell").isNotNull() & F.col(id_col).isNotNull())
     q_cells = ivf_probe_cells_arrow(
         queries.filter(F.col(id_col).isNotNull()),
         coarse,
         probes,
         vec_col,
         id_col,
+        keep_vec=keep,
     ).withColumnRenamed(id_col, query_id_col)
 
-    cand = q_cells.join(corpus_cells, "cell").select(query_id_col, id_col)
-    qv = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
-    )
-    cv = corpus.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
-    )
-    scored = (
-        cand.join(qv, query_id_col)
-        .join(cv, id_col)
-        .select(
+    if scoring == "cell":
+        raw = cell_cosine_pairs_arrow(
+            q_cells,
+            corpus_cells,
+            coarse.shape[1],
             query_id_col,
             id_col,
-            F.round(
-                _dot(F.col("_qv"), F.col("_cv"))
-                / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
-                digits,
-            ).alias("cos"),
+            corpus_blocks=corpus_blocks,
         )
+    else:
+        cand = q_cells.join(corpus_cells, "cell").select(
+            query_id_col, id_col
+        )
+        qv = queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
+        )
+        cv = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+        pairs = cand.join(qv, query_id_col).join(cv, id_col)
+        raw = pairwise_cosine_arrow(
+            pairs, coarse.shape[1], "_qv", "_cv", query_id_col, id_col
+        )
+    # rounding stays Spark-side so the oracle's half-away-from-zero
+    # contract is untouched
+    scored = raw.select(
+        query_id_col, id_col, F.round(F.col("cos"), digits).alias("cos")
     )
     return _per_query_topk(scored, query_id_col, id_col, k)

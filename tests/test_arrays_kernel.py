@@ -315,3 +315,50 @@ def test_token_window_hashes_arrow_spark_roundtrip(spark):
     assert rows["b"] is None
     assert rows["c"] == []
     assert rows["d"] is None
+
+
+def test_pairwise_cosine_arrow_matches_hof_and_masks(spark):
+    """The Arrow pairwise-cosine kernel must agree with the HOF
+    zip_with/aggregate expression it replaced on every eligible pair,
+    and mirror Spark's NULL classes (null / wrong-dim vector on either
+    side, zero norm product) rather than leaking IEEE nan/inf."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fs_schema_validator_spark.functions.arrays import (
+        pairwise_cosine_arrow,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [
+        (i, i + 100,
+         [rng.uniform(-1, 1) for _ in range(dim)],
+         [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(50)
+    ]
+    rows += [
+        (900, 901, None, [1.0] * dim),          # null query vector
+        (902, 903, [1.0] * dim, [1.0] * (dim - 1)),  # wrong dim corpus
+        (904, 905, [0.0] * dim, [1.0] * dim),   # zero-norm query
+    ]
+    df = spark.createDataFrame(
+        rows, "qid long, vid long, qv array<double>, cv array<double>"
+    )
+    got = {
+        (r.qid, r.vid): r.cos
+        for r in pairwise_cosine_arrow(df, dim, "qv", "cv", "qid", "vid")
+        .collect()
+    }
+    assert got[(900, 901)] is None
+    assert got[(902, 903)] is None
+    assert got[(904, 905)] is None
+    for qid, vid, qv, cv in rows[:50]:
+        dot = sum(a * b for a, b in zip(qv, cv))
+        ref = dot / (
+            math.sqrt(sum(a * a for a in qv))
+            * math.sqrt(sum(b * b for b in cv))
+        )
+        assert abs(got[(qid, vid)] - ref) < 1e-12

@@ -2515,3 +2515,37 @@ def test_ivf_knn_join_accepts_trained_quantizer(spark):
         similarity.ivf_knn_join(
             emb, queries, centroids=np.array([], dtype=np.float64)
         )
+
+
+def test_ivf_knn_join_cell_vs_pairs_scoring_identical(spark):
+    """The cogrouped cell-BLAS scorer and the per-pair Arrow kernel are
+    two physical strategies for the SAME logical join — every (qid,
+    vec_id, cos) row must be identical, including with the corpus side
+    salted into sub-blocks (corpus_blocks changes task boundaries,
+    never results)."""
+    import random
+
+    from fs_schema_validator_spark.operators import similarity
+
+    rng = random.Random(522)
+    centers = [_vec(7300 + c) for c in range(4)]
+    rows = [
+        (i, [v + rng.uniform(-0.1, 0.1) for v in centers[i % 4]])
+        for i in range(80)
+    ]
+    rows += [(300, [1.0] * 3), (301, [0.0] * 64), (302, None)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+
+    def rows_of(**kw):
+        return sorted(
+            (r.qid, r.vec_id, r.cos)
+            for r in similarity.ivf_knn_join(
+                emb, queries, k=4, n_centroids=8, probes=3, **kw
+            ).collect()
+        )
+
+    cell = rows_of(scoring="cell")
+    assert cell == rows_of(scoring="pairs")
+    assert cell == rows_of(scoring="cell", corpus_blocks=3)
+    assert len(cell) > 0
