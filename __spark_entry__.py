@@ -1069,6 +1069,123 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def packing_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both packing lineages in one gated slot. Mode 'chars' = concat-
+    and-chop of raw documents per lang (the sequence_packing sibling,
+    now a tail diagnostic). Mode 'dedup_tokens' = the full
+    curate→rewrite→pack lineage a training pipeline actually ships: the
+    shared token-dedup corpus flows through duplicate-SPAN removal
+    (dedup.token_ngram_dedup — `source` rides the rewrite kernel as a
+    passthrough column, so the packer's group key needs NO join-back)
+    and the CLEANED lengths feed sampling.pack_offsets per source.
+    Fully-erased duplicates pack as zero-length placements (they occupy
+    no window but keep their deterministic slot); the null-tokens
+    degenerate row packs at length 0, the short row at its full length.
+    Plan: the dedup stages' compact (hash, count) shuffles + its ONE
+    doc-keyed join-back, then a per-source window — packing adds no new
+    corpus-wide exchange."""
+    from fs_schema_validator_spark.operators import dedup, sampling
+
+    chars = sequence_packing(spark, sf_dir).select(
+        F.lit("chars").alias("mode"),
+        F.col("lang").alias("grp"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_chars").cast("bigint").alias("length"),
+        "start_bin",
+        "start_offset",
+        "end_bin",
+    )
+    cleaned = dedup.token_ngram_dedup(
+        _ngram_corpus(spark), k=_NGRAM_K, passthrough=["source"]
+    )
+    lens = cleaned.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.size("tokens_clean"), F.lit(0))
+        .cast("bigint")
+        .alias("n_clean"),
+    )
+    packed = sampling.pack_offsets(
+        lens,
+        "n_clean",
+        capacity=_PACK_TOK_CAP,
+        group_cols=["source"],
+        order_col="doc_id",
+    )
+    toks = packed.select(
+        F.lit("dedup_tokens").alias("mode"),
+        F.col("source").alias("grp"),
+        F.col("doc_id").alias("k"),
+        F.col("n_clean").alias("length"),
+        "start_bin",
+        "start_offset",
+        "end_bin",
+    )
+    return chars.unionByName(toks)
+
+
+def _dedup_pack_oracle(
+    n: "int | None" = None,
+    k: "int | None" = None,
+    cap: "int | None" = None,
+    base: int = 1000003,
+    mod: int = 2147483647,
+    seed: int = 7,
+) -> str:
+    """DuckDB replay of packing_pipelines' 'dedup_tokens' mode: the
+    span-removal replay reduced to per-doc CLEANED lengths (n_tok minus
+    the count of distinct covered positions — only the length reaches
+    the packer, so the value regeneration/serialization of the full
+    span oracle is unnecessary) followed by the same SUM() OVER
+    concat-and-chop placement as the sequence_packing oracle. (Defaults
+    resolve at call time — the _NGRAM_*/_PACK_* constants are defined
+    further down the module, in the token-window section.)"""
+    n = _NGRAM_N if n is None else n
+    k = _NGRAM_K if k is None else k
+    cap = _PACK_TOK_CAP if cap is None else cap
+    ctes, _ = _seq_window_sql(n, k, base, mod, seed)
+    h_expr = _window_hash_expr(k, base, mod, seed)
+    return f"""
+WITH {ctes}, corpus AS (
+  SELECT doc_id, i, n_tok, vocab, source FROM v
+  UNION ALL
+  SELECT printf('dup-%08d', i), i, n_tok, vocab, source
+  FROM v WHERE i % 20 = 0
+), wh AS (
+  SELECT doc_id, j0, {h_expr} AS h
+  FROM (SELECT doc_id, i, n_tok, vocab,
+               unnest(range(0, n_tok - {k - 1})) AS j0
+        FROM corpus WHERE n_tok >= {k})
+), pdc AS (
+  SELECT doc_id, h FROM wh GROUP BY doc_id, h
+), dup AS (
+  SELECT h FROM pdc GROUP BY h HAVING count(*) >= 2
+), cov AS (
+  SELECT doc_id, count(DISTINCT j) AS n_cov FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, {k}), t -> j0 + t)) AS j
+    FROM wh WHERE h IN (SELECT h FROM dup)) GROUP BY doc_id
+), lens AS (
+  SELECT doc_id, source,
+         CAST(n_tok - coalesce(n_cov, 0) AS BIGINT) AS n_clean
+  FROM corpus LEFT JOIN cov USING (doc_id)
+  UNION ALL SELECT 'deg-null', 'cc', 0
+  UNION ALL SELECT 'deg-short', 'cc', 3
+), st AS (
+  SELECT doc_id, source, n_clean,
+         CAST(COALESCE(sum(n_clean) OVER (PARTITION BY source
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS BIGINT) AS s0
+  FROM lens)
+SELECT source AS grp, doc_id AS k, n_clean AS length,
+       CAST(s0 // {cap} AS BIGINT) AS start_bin,
+       CAST(s0 % {cap} AS BIGINT) AS start_offset,
+       CAST(floor((s0 + n_clean - 1) / CAST({cap} AS DOUBLE)) AS BIGINT)
+           AS end_bin
+FROM st
+"""
+
+
 def vocab_top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary pass: top-10 tokens per lang (explode -> partial-agg
     count -> rank window), ties on the token string."""
@@ -1219,6 +1336,10 @@ def contamination_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_N = 400
 _NGRAM_K = 8
+# capacity of the token-context packer in the curate→rewrite→pack gate —
+# shared by packing_pipelines and _dedup_pack_oracle (the _CLF_BUCKETS
+# one-definition rule)
+_PACK_TOK_CAP = 1024
 
 
 def _degenerate_sequences(spark: SparkSession) -> DataFrame:
@@ -2362,7 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_counts": pii_scrub_counts,
         "table_profile_documents": table_profile_documents,
         "sampling_assignments": sampling_assignments,
-        "sequence_packing": sequence_packing,
+        "packing_pipelines": packing_pipelines,
         "vocab_top_terms_by_lang": vocab_top_terms_by_lang,
         "contamination_screen": contamination_screen,
         "token_ngram_contamination": token_ngram_contamination,
@@ -2377,10 +2498,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_topk_strategies / cc_strategies / fingerprints /
         # drift_tests / token_count_modes / window_ops sit here so
         # oracle_parity still diagnoses each alone)
-        # (topn_per_group moved to the tail in round 5 to free the
-        # window slot for knn_strategies — rank-per-group top-N stays
-        # gated via window_ops' 'topn_<status>' modes)
+        # (topn_per_group and sequence_packing moved to the tail in
+        # round 5 to free window slots for knn_strategies and
+        # packing_pipelines — rank-per-group top-N stays gated via
+        # window_ops' 'topn_<status>' modes; concat-and-chop packing
+        # stays gated via packing_pipelines' 'chars' mode)
         "topn_per_group": topn_per_group,
+        "sequence_packing": sequence_packing,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "ann_topk_exact": ann_topk_exact,
         "ann_topk": ann_topk,
@@ -3386,6 +3510,14 @@ FROM reach GROUP BY a
             ("ivf_kmeans", "ann_topk_ivf_kmeans_pinned"),
             ("ivf_pq", "ann_topk_ivf_pq"),
         ]
+    )
+    d["packing_pipelines"] = (
+        "SELECT 'chars' AS mode, lang AS grp, CAST(doc_id AS VARCHAR) AS k, "
+        "CAST(n_chars AS BIGINT) AS length, start_bin, start_offset, "
+        f"end_bin FROM ({d['sequence_packing']}) "
+        "UNION ALL "
+        "SELECT 'dedup_tokens' AS mode, grp, k, length, start_bin, "
+        f"start_offset, end_bin FROM ({_dedup_pack_oracle()})"
     )
     d["knn_strategies"] = "\nUNION ALL\n".join(
         f"SELECT '{mode}' AS mode, qid, vec_id, cos FROM ({d[name]})"

@@ -739,20 +739,28 @@ def token_span_dedup_arrow(
     base: int = 1000003,
     mod: int = 2147483647,
     seed: int = 7,
+    passthrough: "list[str] | None" = None,
 ) -> DataFrame:
-    """(id, tokens_clean, n_removed) — mapInArrow wrapper over
-    token_span_dedup_kernel; `dup_col` carries each row's globally
-    duplicated window hashes (array<bigint>, null when none)."""
+    """(id, tokens_clean, n_removed, *passthrough) — mapInArrow wrapper
+    over token_span_dedup_kernel; `dup_col` carries each row's globally
+    duplicated window hashes (array<bigint>, null when none).
+    `passthrough` columns ride the kernel untouched, so a downstream
+    consumer (the packer's group/order columns) never needs an id-keyed
+    join-back against the corpus to recover them."""
+    passthrough = passthrough or []
     id_field = df.schema[id_col]
     tok_field = df.schema[tokens_col]
     out_schema = (
         f"{id_col} {id_field.dataType.simpleString()}, "
         f"tokens_clean {tok_field.dataType.simpleString()}, n_removed int"
     )
+    for c in passthrough:
+        out_schema += f", {c} {df.schema[c].dataType.simpleString()}"
     src = df.select(
         F.col(id_col),
         F.col(tokens_col).alias("_t"),
         F.col(dup_col).alias("_d"),
+        *[F.col(c) for c in passthrough],
     )
 
     def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -765,8 +773,9 @@ def token_span_dedup_arrow(
                     batch.column(id_col),
                     clean,
                     pa.array(nrem, type=pa.int32()),
-                ],
-                names=[id_col, "tokens_clean", "n_removed"],
+                ]
+                + [batch.column(c) for c in passthrough],
+                names=[id_col, "tokens_clean", "n_removed"] + passthrough,
             )
 
     return src.mapInArrow(compute, out_schema)

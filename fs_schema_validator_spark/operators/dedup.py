@@ -745,6 +745,7 @@ def token_ngram_dedup(
     base: int = 1000003,
     mod: int = 2147483647,
     seed: int = 7,
+    passthrough: "list[str] | None" = None,
 ) -> DataFrame:
     """Duplicate-SPAN REMOVAL — the rewrite stage of token-level exact
     k-gram dedup (the output a training pipeline actually feeds to the
@@ -798,7 +799,9 @@ def token_ngram_dedup(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("h")).alias("_dup_hs"))
     )
-    src = df.select(id_col, tokens_col).join(per_doc, id_col, "left")
+    src = df.select(id_col, tokens_col, *(passthrough or [])).join(
+        per_doc, id_col, "left"
+    )
     return token_span_dedup_arrow(
         src,
         tokens_col,
@@ -808,6 +811,7 @@ def token_ngram_dedup(
         base=base,
         mod=mod,
         seed=seed,
+        passthrough=passthrough,
     )
 
 

@@ -423,23 +423,53 @@ def main() -> None:
     )
 
     # window family melt: BOTH running-total metrics stack() from ONE
-    # window pass — 2 scans total (orders + events), not one per metric
+    # window pass — 3 scans total (orders + events + orders for the
+    # round-5 topn_<status> modes), not one per metric
     sections.append(
         audit(
             "window_ops (stack-melted window family, one pass per table)",
             qs["window_ops"](spark, SF_DIR),
-            {"max_scans": 2, "plan_excludes": "CartesianProduct"},
+            {"max_scans": 3, "plan_excludes": "CartesianProduct"},
         )
     )
 
-    # batch kNN join: candidates from ONE cell equi-join (two Arrow
-    # assignment passes), never a cross-join of queries x corpus
+    # batch kNN join (round-5 cogrouped cell-BLAS scoring): exactly 3
+    # exchanges — the two cogroup sides ship (id, cell, vec) ONCE per
+    # row (keep_vec kernels, no id-keyed vector refetch joins) and the
+    # per-query top-k window ranks the 24-byte pair stream. The round-4
+    # join shape showed 2 exchanges only because AQE broadcast the
+    # vector-fetch joins at sf0.01 — at kNN-graph scale those were
+    # corpus-wide vector shuffles.
     sections.append(
         audit(
-            "knn_join_topk (batch IVF kNN join, cell equi-join)",
+            "knn_join_topk (batch IVF kNN join, cogrouped cell scoring)",
             qs["knn_join_topk"](spark, SF_DIR),
-            {"plan_contains": "MapInArrow", "max_exchanges": 2,
+            {"plan_contains": "FlatMapCoGroupsInArrow", "max_exchanges": 3,
+             "max_scans": 2, "plan_excludes": "CartesianProduct"},
+        )
+    )
+
+    # standing-index batch kNN join: codes ride the candidate join
+    # (m bytes/row), raw vectors fetched only for the rerank shortlist;
+    # probe side partition-prunes the code scan
+    sections.append(
+        audit(
+            "pq_knn_join_topk (standing-index kNN join, ADC candidates)",
+            qs["pq_knn_join_topk"](spark, SF_DIR),
+            {"plan_contains": "MapInArrow",
              "plan_excludes": "CartesianProduct"},
+        )
+    )
+
+    # curate→rewrite→pack: the dedup stages' compact (hash,count)
+    # shuffles + ONE doc-keyed join-back + the per-group packing
+    # windows — packing adds no corpus-wide exchange beyond them
+    sections.append(
+        audit(
+            "packing_pipelines (span-dedup → pack fused lineage)",
+            qs["packing_pipelines"](spark, SF_DIR),
+            {"plan_contains": "MapInArrow", "max_scans": 1,
+             "plan_excludes": "CartesianProduct", "max_exchanges": 7},
         )
     )
 
