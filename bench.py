@@ -81,6 +81,9 @@ HEADLINE = [
     "ann_topk_ivf_kmeans_pinned",
     "token_ngram_dedup_clean",
     "knn_join_topk",
+    # round-5 additions (new operators, timed from this round on)
+    "pq_knn_join_topk",
+    "packing_pipelines",
 ]
 
 # Timed and reported in `queries`, but EXCLUDED from the summed headline
@@ -102,6 +105,8 @@ VALUE_EXCLUDED = {
     "ann_topk_ivf_kmeans_pinned",
     "token_ngram_dedup_clean",
     "knn_join_topk",
+    "pq_knn_join_topk",
+    "packing_pipelines",
 }
 
 SEQ_RULES = r"""
@@ -449,18 +454,32 @@ def bench_token_ngram(spark, seq_path: str) -> dict:
     seq = spark.read.parquet(seq_path).filter(
         F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
     )
+
+    def read_cpu() -> tuple[int, int]:
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return sum(vals), vals[7] if len(vals) > 7 else 0
+        except OSError:
+            return 0, 0
+
     times = []
+    steals = []
     agg = None
-    # 3 passes, min: a single-shot measurement of this workload drew a
-    # 63s-vs-17s spread under neighbor load. NOTE the aggregate must
-    # include n_dup_windows — summing only n_windows lets Catalyst prune
-    # the entire dup-flag join (left join on a unique key, no referenced
+    # min-of-3 WITH per-pass steal: this is the noisiest workload in the
+    # suite (single-shot spread 63s-vs-17s under neighbor load; round 4's
+    # official 76.3s contradicted the quiet-window 40.6s) — the steal
+    # column is the contamination signal that attributes such swings to
+    # host weather instead of code. NOTE the aggregate must include
+    # n_dup_windows — summing only n_windows lets Catalyst prune the
+    # entire dup-flag join (left join on a unique key, no referenced
     # output) and times a degenerate query.
     for i in range(3):
         # budget cap: on a heavily stolen box one pass can run 60s+;
         # don't burn the driver's bench window re-measuring noise
         if i >= 2 and sum(times) > 150:
             break
+        tot0, st0 = read_cpu()
         t0 = time.time()
         agg = (
             dedup_ops.token_ngram_dup_stats(seq, k=8)
@@ -472,10 +491,13 @@ def bench_token_ngram(spark, seq_path: str) -> dict:
             .first()
         )
         times.append(time.time() - t0)
+        tot1, st1 = read_cpu()
+        steals.append(round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 1))
     elapsed = round(min(times), 3)
     return {
         "ngram_dedup_sec": elapsed,
         "ngram_passes": [round(t, 3) for t in times],
+        "ngram_steal_pct": steals,
         "ngram_docs": int(agg["docs"]),
         "ngram_windows": int(agg["nw"]),
         "ngram_dup_windows": int(agg["nd"]),
@@ -573,7 +595,34 @@ def main() -> None:
         **ab_stats,
         **read_scaling_evidence(),
     }
-    print(json.dumps(out))
+    # The driver records only the TAIL of stdout and json-parses it —
+    # round 4's full dict overflowed that window and the official record
+    # lost its head ("parsed": null). The full detail goes to a sidecar
+    # file; stdout gets ONE compact line (2-decimal query times, the
+    # headline capability numbers, and a pointer to the detail) small
+    # enough to survive the tail capture whole.
+    detail_path = Path(__file__).resolve().parent / "BENCH" / "DETAIL_last.json"
+    detail_path.parent.mkdir(exist_ok=True)
+    detail_path.write_text(json.dumps(out, indent=1))
+    compact = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in out["queries"].items()},
+        "sf": out["sf"],
+        "cpus": cpus,
+        "seq_validate_sec": seq_stats["seq_validate_sec"],
+        "seq_rows_per_sec": seq_stats["seq_rows_per_sec"],
+        "seq_tokens_per_sec": seq_stats["seq_tokens_per_sec"],
+        "seq_steal_pct": seq_stats["seq_steal_pct"],
+        "ngram_dedup_sec": ngram_stats["ngram_dedup_sec"],
+        "ngram_windows_per_sec": ngram_stats["ngram_windows_per_sec"],
+        "ngram_steal_pct": ngram_stats["ngram_steal_pct"],
+        "ab_r1_sec": ab_stats.get("ab_r1_sec"),
+        "scaling": out.get("scaling_efficiency"),
+        "detail": "BENCH/DETAIL_last.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

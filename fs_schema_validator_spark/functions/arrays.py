@@ -1173,7 +1173,16 @@ def ivf_pq_index_arrow(
     pq_encode_arrow separately would scan twice and join two full-corpus
     streams on the id — a shuffle the index build never needs).
     Ineligible (null / wrong-dimension / zero-norm) rows get NULL
-    cell+codes; both models ship in the kernel closure."""
+    cell+codes; both models ship in the kernel closure.
+
+    Also emits `qerr double` — the row's quantization error
+    ‖u − recon(codes)‖, computed in the same sweep (the residual is
+    already in hand at encode time). This is the per-row bound that
+    makes CODE-level screens exact-safe: for unit a, b with
+    reconstructions ra, rb, cos(a,b) ≤ ra·rb + |ra|·eb + ea·|rb| +
+    ea·eb, every term computable from codes + qerr — so a pair screen
+    over m-byte codes can prove "cosine below threshold" without ever
+    touching the vectors (semantic_dedup_pq)."""
     cn = centroids.astype(np.float64)
     cnorm = np.linalg.norm(cn, axis=1, keepdims=True)
     cnorm[cnorm == 0] = 1.0
@@ -1192,7 +1201,8 @@ def ivf_pq_index_arrow(
         )
     id_field = df.schema[id_col]
     out_schema = (
-        f"{id_col} {id_field.dataType.simpleString()}, cell int, codes binary"
+        f"{id_col} {id_field.dataType.simpleString()}, cell int, "
+        "codes binary, qerr double"
     )
     src = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
 
@@ -1201,6 +1211,10 @@ def ivf_pq_index_arrow(
             u, good = _unit_rows_masked(batch.column("_v"), dim)
             cell = np.argmax(u @ cn.T, axis=1).astype(np.int32)
             codes = _pq_assign(u, cb).astype(np.uint8)
+            recon = np.concatenate(
+                [cb[s, codes[:, s]] for s in range(m)], axis=1
+            )
+            qerr = np.linalg.norm(u - recon, axis=1)
             out_cell = pa.array(
                 np.ma.masked_array(cell, mask=~good), type=pa.int32()
             )
@@ -1213,8 +1227,12 @@ def ivf_pq_index_arrow(
                     batch.column(id_col),
                     out_cell,
                     pa.array(out_codes, type=pa.binary()),
+                    pa.array(
+                        np.ma.masked_array(qerr, mask=~good),
+                        type=pa.float64(),
+                    ),
                 ],
-                names=[id_col, "cell", "codes"],
+                names=[id_col, "cell", "codes", "qerr"],
             )
 
     return src.mapInArrow(compute, out_schema)
@@ -1461,11 +1479,27 @@ def cell_cosine_pairs_arrow(
     query_id_col: str,
     id_col: str,
     corpus_blocks: int = 1,
+    per_cell_topk: "int | None" = None,
+    round_digits: "int | None" = None,
 ) -> DataFrame:
-    """(qid, id, cos double) — ALL (query, corpus) cosine pairs within
-    each IVF cell, scored as one BLAS block matmul per cell: the
+    """(qid, id, cos double) — (query, corpus) cosine pairs within each
+    IVF cell, scored as one BLAS block matmul per cell: the
     candidate-generation AND scoring stage of the batch kNN join fused
     into a single cogroup.
+
+    ``per_cell_topk`` keeps only each query's top-k WITHIN the cell
+    block, by (cos DESC, id ASC) — the distributed top-k identity (the
+    global top-k is contained in the union of per-cell top-ks, for any
+    cell/block partitioning), so the emitted stream shrinks from
+    O(candidates) to O(queries × probes × k) while the downstream
+    global window returns the identical rows. Tie order requires
+    ranking the SAME value the final window ranks, so ``round_digits``
+    must be set with it: cos is rounded in-kernel with the portable
+    half-away-from-zero formula (sign·floor(|x|·s + 0.5)/s — bit-equal
+    to Spark's F.round and DuckDB's round; np.round would be
+    half-to-even) and callers must NOT re-round. Ties on rounded cos
+    resolve id-ascending via a stable argsort over an id-sorted corpus
+    block.
 
     Inputs are the keep_vec outputs of ivf_probe_cells_arrow /
     ivf_assign_arrow: (id, cell, _v). Why cogroup instead of the
@@ -1496,6 +1530,12 @@ def cell_cosine_pairs_arrow(
         f"{query_id_col} {q_field.dataType.simpleString()}, "
         f"{id_col} {id_field.dataType.simpleString()}, cos double"
     )
+    if per_cell_topk is not None and round_digits is None:
+        raise ValueError(
+            "per_cell_topk requires round_digits: truncation must rank "
+            "the same rounded value the global window ranks, or ties "
+            "cut the wrong id"
+        )
     keys = ["cell"]
     if corpus_blocks > 1:
         c_cells = c_cells.withColumn(
@@ -1534,6 +1574,15 @@ def cell_cosine_pairs_arrow(
         uq, uc = uq[qi], uc[ci]
         qids = left.column(query_id_col).combine_chunks()
         cids = right.column(id_col).combine_chunks()
+        if per_cell_topk is not None:
+            # id-ascending corpus order makes the stable argsort below
+            # resolve rounded-cos ties id-ascending — the window's
+            # (cos DESC, id ASC) contract (UTF-8 byte order == code
+            # point order for strings, so numpy agrees with Spark)
+            o = np.argsort(
+                cids.to_numpy(zero_copy_only=False)[ci], kind="stable"
+            )
+            ci, uc = ci[o], uc[o]
         out_q, out_c, out_s = [], [], []
         # chunk the query side so the score block stays bounded
         # (chunk × cell_members float64; corpus_blocks bounds the
@@ -1542,6 +1591,19 @@ def cell_cosine_pairs_arrow(
             qs = slice(lo, lo + chunk)
             s = uq[qs] @ uc.T
             nq = s.shape[0]
+            if round_digits is not None:
+                scale = 10.0 ** round_digits
+                s = np.sign(s) * np.floor(np.abs(s) * scale + 0.5) / scale
+            if per_cell_topk is not None and s.shape[1] > per_cell_topk:
+                order = np.argsort(-s, axis=1, kind="stable")[
+                    :, :per_cell_topk
+                ]
+                rows = np.repeat(np.arange(nq), order.shape[1])
+                cols = order.ravel()
+                out_q.append(qids.take(pa.array(qi[qs][rows])))
+                out_c.append(cids.take(pa.array(ci[cols])))
+                out_s.append(pa.array(s[rows, cols], type=pa.float64()))
+                continue
             out_q.append(
                 qids.take(pa.array(np.repeat(qi[qs], len(ci))))
             )
@@ -1566,3 +1628,241 @@ def cell_cosine_pairs_arrow(
         .cogroup(c_cells.groupBy(*keys))
         .applyInArrow(score, out_schema)
     )
+
+
+def cell_pq_adc_topk_arrow(
+    q_cells: DataFrame,
+    codes_cells: DataFrame,
+    codebooks: "np.ndarray",
+    topk: int,
+    query_id_col: str,
+    id_col: str,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """(qid, id, adist double) — each query's per-cell ADC top-k against
+    a cell's PQ codes, as ONE cogroup: the standing-index analog of
+    cell_cosine_pairs_arrow(per_cell_topk=...).
+
+    Per cell, every query's (m, ks) lookup table is built ONCE from its
+    unit vector (so the query vector crosses the wire `probes` times,
+    never once per candidate — the per-pair kernel shipped dim×4 bytes
+    of query vector on EVERY candidate row), codes gather against the
+    LUTs in one vectorized pass, and only the (adist ASC, id ASC) top-k
+    per query is emitted — O(queries × probes × k) rows out of
+    O(candidates) scored. fp association orders are kept bit-equal to
+    the single-query LUT path (lut .sum(-1) over the sub axis; per-pair
+    partials as a contiguous (nq, nc, m) .sum(axis=2)) so the shortlist
+    boundary never flips a last-ulp tie against the SQL replay.
+    Ineligible queries and malformed code rows are dropped (the
+    upstream probe/encode kernels already exclude them)."""
+    cb = codebooks.astype(np.float64)
+    m, ks, sub = cb.shape
+    dim = m * sub
+    q_field = q_cells.schema[query_id_col]
+    id_field = codes_cells.schema[id_col]
+    out_schema = (
+        f"{query_id_col} {q_field.dataType.simpleString()}, "
+        f"{id_col} {id_field.dataType.simpleString()}, adist double"
+    )
+    left_src = q_cells.select("cell", F.col(query_id_col), F.col("_v"))
+    right_src = codes_cells.select(
+        "cell", F.col(id_col), F.col(codes_col).alias("_c")
+    )
+    sub_idx = np.arange(m)
+
+    def score(left: pa.Table, right: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                query_id_col: pa.array(
+                    [], type=left.schema.field(query_id_col).type
+                ),
+                id_col: pa.array([], type=right.schema.field(id_col).type),
+                "adist": pa.array([], type=pa.float64()),
+            }
+        )
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        uq, gq = _unit_rows_masked(left.column("_v").combine_chunks(), dim)
+        carr = right.column("_c").combine_chunks()
+        starts, lengths, values, validity = _binary_views(carr)
+        qi = np.nonzero(gq)[0]
+        ci = np.nonzero(validity & (lengths == m))[0]
+        if not len(qi) or not len(ci):
+            return empty
+        qids = left.column(query_id_col).combine_chunks()
+        cids = right.column(id_col).combine_chunks()
+        # id-ascending corpus order → stable argsort resolves adist
+        # ties id-ascending (the ORDER BY adist, id contract)
+        o = np.argsort(cids.to_numpy(zero_copy_only=False)[ci], kind="stable")
+        ci = ci[o]
+        codes = values[starts[ci][:, None] + sub_idx].astype(np.int64)
+        uq = uq[qi]
+        nc = len(ci)
+        kk = min(topk, nc)
+        # all LUTs for the cell's queries in one pass: (nq, m, ks)
+        luts = ((uq.reshape(len(qi), m, 1, sub) - cb[None]) ** 2).sum(-1)
+        out_q, out_c, out_s = [], [], []
+        # bound the (chunk, nc, m) partials block to ~64 MB
+        chunk = max(1, int(8_000_000 / max(nc * m, 1)))
+        for lo in range(0, len(qi), chunk):
+            qs = slice(lo, lo + chunk)
+            lc = luts[qs]
+            nqc = lc.shape[0]
+            parts = np.empty((nqc, nc, m))
+            for s in range(m):
+                parts[:, :, s] = lc[:, s][:, codes[:, s]]
+            adist = parts.sum(axis=2)
+            order = np.argsort(adist, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(nqc), kk)
+            cols = order.ravel()
+            out_q.append(qids.take(pa.array(qi[qs][rows])))
+            out_c.append(cids.take(pa.array(ci[cols])))
+            out_s.append(pa.array(adist[rows, cols], type=pa.float64()))
+        return pa.table(
+            {
+                query_id_col: pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in out_q]
+                ),
+                id_col: pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in out_c]
+                ),
+                "adist": pa.concat_arrays(out_s),
+            }
+        )
+
+    return (
+        left_src.groupBy("cell")
+        .cogroup(right_src.groupBy("cell"))
+        .applyInArrow(score, out_schema)
+    )
+
+
+def pq_code_screen_pairs_arrow(
+    codes_cells: DataFrame,
+    codebooks: "np.ndarray",
+    threshold: float,
+    digits: int,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    err_col: str = "qerr",
+    block: int = 256,
+) -> DataFrame:
+    """(id_a, id_b, certain boolean) — the SemDeDup within-cell screen
+    run on m-BYTE PQ codes + the per-row quantization error, never on
+    vectors. For unit rows a, b with reconstructions ra, rb and errors
+    ea = ‖a − ra‖: ra·rb − x ≤ cos(a,b) ≤ ra·rb + x where
+    x = |ra|·eb + ea·|rb| + ea·eb — every term computable from the
+    codes (codeword dot tables ship in the closure) and the stored
+    qerr. Per cell (rows id-sorted, keep-first orientation a < b),
+    blockwise over the same O(m²) SemDeDup flop budget:
+
+      * upper bound < threshold − slack  → pair PROVEN clean: dropped —
+        the common case, and it never touched a vector;
+      * lower bound ≥ threshold + slack → b PROVEN dup: ONE
+        (null, id_b, certain=true) row, no verify;
+      * otherwise → (id_a, id_b, certain=false) candidate for the
+        exact-cosine verify.
+
+    `slack` covers the round-to-`digits` contract (round(cos) ≥ t ⟺
+    cos ≥ t − 0.5·10⁻ᵈ) plus a 1e-9 guard for the bound arithmetic's
+    own fp error, so the final flag set is EXACTLY the all-pairs
+    kernel's. Null/malformed rows never reach this kernel (the index
+    build excluded them)."""
+    cb = codebooks.astype(np.float64)
+    m, ks, sub = cb.shape
+    # per-subspace codeword dot tables: (m, ks, ks), ≤ 4 MB at ks=256
+    cdots = np.stack([cb[s] @ cb[s].T for s in range(m)])
+    rnorm_sq_tab = np.stack([np.diag(cdots[s]) for s in range(m)])
+    id_field = codes_cells.schema[id_col]
+    id_t = id_field.dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, certain boolean"
+    # round(cos) >= t  <=>  cos >= t - 0.5 * 10^-digits (half-away)
+    t_eff = threshold - 0.5 * 10.0 ** (-digits)
+    eps = 1e-9
+    src = codes_cells.select(
+        "cell",
+        F.col(id_col),
+        F.col(codes_col).alias("_c"),
+        F.col(err_col).alias("_e"),
+    )
+    sub_idx = np.arange(m)
+
+    def screen(table: pa.Table) -> pa.Table:
+        ids_arr = table.column(id_col).combine_chunks()
+        carr = table.column("_c").combine_chunks()
+        starts, lengths, values, validity = _binary_views(carr)
+        errs = table.column("_e").to_numpy(zero_copy_only=False)
+        ok = validity & (lengths == m) & np.isfinite(errs)
+        idx = np.nonzero(ok)[0]
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=ids_arr.type),
+                "id_b": pa.array([], type=ids_arr.type),
+                "certain": pa.array([], type=pa.bool_()),
+            }
+        )
+        if len(idx) < 2:
+            return empty
+        ids_np = ids_arr.to_numpy(zero_copy_only=False)[idx]
+        order = np.argsort(ids_np, kind="stable")
+        idx = idx[order]
+        codes = values[starts[idx][:, None] + sub_idx].astype(np.int64)
+        e = errs[idx]
+        rn = np.sqrt(
+            np.maximum(rnorm_sq_tab[sub_idx[:, None], codes.T].sum(0), 0.0)
+        )
+        n = len(idx)
+        out_a, out_b, out_c = [], [], []
+        certain = np.zeros(n, dtype=bool)
+        for lo in range(1, n, block):
+            hi = min(lo + block, n)
+            rdot = np.zeros((hi - lo, hi))
+            for s in range(m):
+                rdot += cdots[s][codes[lo:hi, s][:, None],
+                                 codes[:hi, s][None, :]]
+            x = (
+                rn[lo:hi, None] * e[None, :hi]
+                + e[lo:hi, None] * rn[None, :hi]
+                + e[lo:hi, None] * e[None, :hi]
+            )
+            upper = rdot + x
+            lower = rdot - x
+            for kk in range(hi - lo):
+                b = lo + kk
+                if certain[b]:
+                    continue
+                if (lower[kk, :b] >= t_eff + eps).any():
+                    certain[b] = True
+                    continue
+                cand_a = np.nonzero(upper[kk, :b] >= t_eff - eps)[0]
+                if len(cand_a):
+                    out_a.append(ids_arr.take(pa.array(idx[cand_a])))
+                    out_b.append(
+                        ids_arr.take(pa.array(np.full(len(cand_a), idx[b])))
+                    )
+                    out_c.append(
+                        pa.array(np.zeros(len(cand_a), dtype=bool))
+                    )
+        cb_idx = np.nonzero(certain)[0]
+        if len(cb_idx):
+            out_a.append(pa.nulls(len(cb_idx), type=ids_arr.type))
+            out_b.append(ids_arr.take(pa.array(idx[cb_idx])))
+            out_c.append(pa.array(np.ones(len(cb_idx), dtype=bool)))
+        if not out_b:
+            return empty
+        fix = (
+            lambda a: a.combine_chunks()
+            if isinstance(a, pa.ChunkedArray)
+            else a
+        )
+        return pa.table(
+            {
+                "id_a": pa.concat_arrays([fix(a) for a in out_a]),
+                "id_b": pa.concat_arrays([fix(a) for a in out_b]),
+                "certain": pa.concat_arrays(out_c),
+            }
+        )
+
+    return src.groupBy("cell").applyInArrow(screen, out_schema)

@@ -876,3 +876,187 @@ def token_ngram_contamination(
         .otherwise(F.lit(0.0))
         .alias("contamination_rate"),
     )
+
+
+def write_token_dedup_state(
+    df: DataFrame,
+    path: str,
+    k: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    base: int = 1000003,
+    mod: int = 2147483647,
+    seed: int = 7,
+) -> str:
+    """Materialize the STANDING state of token-level exact k-gram dedup
+    — the append_pq_index pattern for the token-window family: one
+    Arrow pass over the corpus persists
+
+      * ``counts``: (h, n_docs) — row instances per distinct window
+        hash (the table the >= min_docs threshold reads), and
+      * ``pairs``: (doc_id, h) — the doc→hash linkage that lets an
+        append find which EXISTING docs a new duplicate affects without
+        re-running the window kernel over history.
+
+    Both relations are O(distinct windows), compact next to the corpus
+    (16 B per doc-distinct window vs the token payload), and the state
+    parameters (k/base/mod/seed) ride a `meta` sidecar so an append
+    with mismatched hashing fails fast instead of silently mixing hash
+    spaces."""
+    from ..functions.arrays import token_window_pair_counts_arrow
+
+    spark = df.sparkSession
+    # pairs keeps the kernel's (id, -1, 0) sentinels: zero-window docs
+    # must still be MEMBERS of the state (skip_existing's idempotent
+    # retry is keyed on pairs' ids); counts sees only real hashes
+    pdc = token_window_pair_counts_arrow(
+        df, tokens_col, id_col, k=k, base=base, mod=mod, seed=seed
+    )
+    pdc.filter(F.col("h") >= 0).groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).write.mode("overwrite").parquet(f"{path}/counts")
+    pdc.select(id_col, "h").write.mode("overwrite").parquet(f"{path}/pairs")
+    spark.createDataFrame(
+        [(k, base, mod, seed, id_col)],
+        "k int, base long, mod long, seed long, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return path
+
+
+def append_token_dedup(
+    df_new: DataFrame,
+    corpus_old: DataFrame,
+    path: str,
+    min_docs: int = 2,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    skip_existing: bool = True,
+    passthrough: "list[str] | None" = None,
+) -> DataFrame:
+    """Incremental duplicate-SPAN removal: ingest `df_new` against a
+    write_token_dedup_state layout and return the rewrite of ONLY the
+    rows whose cleaned output can have changed — the new rows plus the
+    EXISTING docs that share a window hash whose duplicate status
+    flipped (counts are monotone under append, so clean→dup is the only
+    transition; everything else's prior output stays valid). At
+    10^12-token scale this replaces two corpus-wide kernel passes with
+    one pass over the DELTA, a counts merge keyed on the delta's
+    hashes, and a reverse lookup in the persisted doc→hash pairs.
+
+    State updates are written back (counts merged, delta pairs
+    appended). `skip_existing` anti-joins delta ids already in the
+    state (idempotent retries — the id-column-pruned membership scan,
+    same contract as append_pq_index). Returns (id, tokens_clean,
+    n_removed, *passthrough) for the rewrite set; append-then-rewrite
+    ≡ full token_ngram_dedup rebuild on old ∪ new (asserted in tests).
+    NOT atomic across the two state writes — wrap in your table
+    format's transaction (Iceberg/Delta) for concurrent ingest."""
+    from ..functions.arrays import (
+        token_span_dedup_arrow,
+        token_window_pair_counts_arrow,
+    )
+
+    spark = df_new.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    k, base, mod, seed = (
+        int(meta["k"]), int(meta["base"]), int(meta["mod"]), int(meta["seed"])
+    )
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"state was built over id_col={meta['id_col']!r}, got {id_col!r}"
+        )
+    if skip_existing:
+        existing = spark.read.parquet(f"{path}/pairs").select(
+            id_col
+        ).distinct()
+        df_new = df_new.join(existing, id_col, "left_anti")
+    pdc_new = token_window_pair_counts_arrow(
+        df_new, tokens_col, id_col, k=k, base=base, mod=mod, seed=seed
+    ).persist()
+    new_pairs = pdc_new.filter(F.col("h") >= 0)
+    delta_counts = new_pairs.groupBy("h").agg(
+        F.count(F.lit(1)).alias("d_docs")
+    )
+    counts_old = spark.read.parquet(f"{path}/counts")
+    # only hashes PRESENT IN THE DELTA can change status — the merge
+    # and the flip detection are keyed on the delta's hash set, never
+    # on the historical table's size
+    merged_delta = (
+        counts_old.join(delta_counts, "h", "right")
+        .select(
+            "h",
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("old_docs"),
+            (
+                F.coalesce(F.col("n_docs"), F.lit(0)) + F.col("d_docs")
+            ).alias("n_docs"),
+        )
+        .persist()
+    )
+    flipped = merged_delta.filter(
+        (F.col("old_docs") < min_docs) & (F.col("n_docs") >= min_docs)
+    ).select("h")
+    pairs_old = spark.read.parquet(f"{path}/pairs")
+    affected_old_ids = (
+        pairs_old.join(flipped, "h", "leftsemi").select(id_col).distinct()
+    )
+    affected_old = corpus_old.join(affected_old_ids, id_col, "leftsemi")
+
+    # dup-hash sets for the rewrite docs, against the MERGED counts:
+    # historical hashes keep their old threshold verdict unless flipped,
+    # so old-count dups ∪ flipped == merged >= min_docs restricted to
+    # the rewrite docs' hashes
+    dup_old = counts_old.filter(F.col("n_docs") >= min_docs).select("h")
+    dup_all = dup_old.unionByName(
+        merged_delta.filter(F.col("n_docs") >= min_docs).select("h")
+    ).distinct()
+    rewrite_src = df_new.select(
+        id_col, tokens_col, *(passthrough or [])
+    ).unionByName(
+        affected_old.select(id_col, tokens_col, *(passthrough or []))
+    )
+    rewrite_pairs = token_window_pair_counts_arrow(
+        rewrite_src, tokens_col, id_col, k=k, base=base, mod=mod, seed=seed
+    ).filter(F.col("h") >= 0)
+    per_doc = (
+        rewrite_pairs.join(dup_all, "h", "leftsemi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("h")).alias("_dup_hs"))
+    )
+    out = token_span_dedup_arrow(
+        rewrite_src.join(per_doc, id_col, "left"),
+        tokens_col,
+        "_dup_hs",
+        id_col=id_col,
+        k=k,
+        base=base,
+        mod=mod,
+        seed=seed,
+        passthrough=passthrough,
+    )
+    # SEVER the rewrite's lineage BEFORE mutating the state: it reads
+    # the pairs/counts directories this function is about to
+    # append/overwrite (skip_existing's anti-join, dup_old), and
+    # Spark's insert path calls refreshByPath on the written directory,
+    # which INVALIDATES any cached plan over it — a merely-persisted
+    # `out` would silently recompute after the write-back and anti-join
+    # the delta against its own freshly-appended ids (measured: 14 rows
+    # in-function, 1 row after return). localCheckpoint is immune.
+    out = out.localCheckpoint(eager=True)
+
+    # state write-back: merged counts replace the delta's hashes, delta
+    # pairs append. Same refreshByPath hazard: new_counts READS the
+    # counts directory it overwrites, so checkpoint it first or the
+    # insert job recomputes it from the half-deleted input.
+    new_counts = (
+        counts_old.join(delta_counts.select("h"), "h", "left_anti")
+        .unionByName(merged_delta.select("h", "n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    new_counts.write.mode("overwrite").parquet(f"{path}/counts")
+    # sentinels included — zero-window delta docs become members too
+    pdc_new.select(id_col, "h").write.mode("append").parquet(
+        f"{path}/pairs"
+    )
+    pdc_new.unpersist()
+    merged_delta.unpersist()
+    return out

@@ -736,6 +736,88 @@ def _cell_dedup_kernel(
     )
 
 
+def semantic_dedup_pq(
+    spark,
+    path: str,
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 5,
+) -> DataFrame:
+    """SemDeDup against a write_pq_index STANDING index — the same
+    (id, cell, is_dup) contract and the same flag set as
+    semantic_dedup(strategy="kernel"), at the index's cost model:
+
+    * the within-cell screen reads m-byte CODES + the 8-byte stored
+      quantization error, never vectors — the cell-grouped relation
+      shrinks ~(dim·4)/(m+8)-fold, and the codes table is already
+      cell-partitioned so the screen's only wide move is its output;
+    * pq_code_screen_pairs_arrow PROVES most pairs clean (upper bound
+      below threshold) or dup (lower bound above) from the codes alone;
+      only the uncertain band fetches raw vectors for the exact rounded
+      cosine — the candidates-only pattern the LSH family uses;
+    * exactness is preserved: the bounds bracket the true cosine with
+      rounding slack, so certain ∪ verified == the all-pairs flags
+      (asserted in tests against semantic_dedup on the same quantizer).
+
+    The index's coarse quantizer defines the cells — build the index
+    with the same `centroids` you would hand semantic_dedup for
+    byte-identical output. Rows of `df` absent from the index
+    (ineligible vectors, null ids, unindexed newcomers) report NULL
+    cell / is_dup false, exactly the semantic_dedup convention for
+    non-participants."""
+    from ..functions.arrays import (
+        pairwise_cosine_arrow,
+        pq_code_screen_pairs_arrow,
+    )
+
+    coarse, cb = _load_pq_model(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    screen = pq_code_screen_pairs_arrow(
+        codes, cb, threshold, digits, id_col=id_col
+    )
+    certain = screen.filter(F.col("certain")).select(
+        F.col("id_b").alias(id_col)
+    )
+    pairs = screen.filter(~F.col("certain"))
+    v = df.select(id_col, F.col(vec_col).alias("_v"))
+    # uncertain band only: two id-keyed vector fetches — AQE broadcasts
+    # the pair side when the band is small (the common case: bounds
+    # resolve almost everything at SemDeDup thresholds)
+    joined = (
+        pairs.join(
+            v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
+            "id_a",
+        )
+        .join(
+            v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")),
+            "id_b",
+        )
+    )
+    verified = (
+        pairwise_cosine_arrow(
+            joined, coarse.shape[1], "_va", "_vb", "id_a", "id_b"
+        )
+        .select("id_b", F.round(F.col("cos"), digits).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+    )
+    dup_ids = certain.unionByName(verified).distinct().withColumn(
+        "_dup", F.lit(True)
+    )
+    out = (
+        df.select(id_col)
+        .join(codes.select(id_col, "cell"), id_col, "left")
+        .join(dup_ids, id_col, "left")
+    )
+    return out.select(
+        id_col,
+        "cell",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
 def ivf_topk_kmeans(
     df: DataFrame,
     query: list[float],
@@ -903,6 +985,7 @@ def write_pq_index(
     n_iter: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: "np.ndarray | None" = None,
 ) -> str:
     """Materialize the STANDING IVF-PQ index ivf_pq_topk's docstring
     promises: train once, encode the corpus in ONE Arrow pass
@@ -919,8 +1002,24 @@ def write_pq_index(
     vectors) are not indexed — a null-id code row could never be joined
     back for the exact rerank, so indexing it would burn ADC shortlist
     slots on a phantom; the validator queries (embedding_dim_violations)
-    are the place that reports bad vectors."""
-    coarse = _collect_seed_matrix(df, n_centroids, vec_col, id_col)
+    are the place that reports bad vectors.
+
+    `centroids` overrides the default id-ordered seed quantizer with a
+    trained coarse matrix (train_centroids_kmeans) — the scale path: a
+    seed sample only spans whatever region the first ids happen to
+    cover, and cells that fragment a neighborhood cost recall at every
+    probe count (measured in tools/bench_knn_graph.py)."""
+    if centroids is not None:
+        import numpy as np
+
+        coarse = np.asarray(centroids, dtype=np.float64)
+        if coarse.ndim != 2 or coarse.size == 0:
+            raise ValueError(
+                f"centroids must be a non-empty 2-D matrix, got shape "
+                f"{coarse.shape}"
+            )
+    else:
+        coarse = _collect_seed_matrix(df, n_centroids, vec_col, id_col)
     cb = train_pq_codebooks(
         df, m, ks, n_iter, vec_col, id_col,
         # reuse the coarse window only when it covers ks rows; a small
@@ -1088,51 +1187,75 @@ def pq_knn_join(
     id_col: str = "vec_id",
     query_id_col: str = "qid",
     digits: int = 5,
+    scoring: str = "cell",
 ) -> DataFrame:
     """(qid, vec_id, cos) — batch kNN against a write_pq_index layout:
     the kNN-graph primitive at the standing index's cost model. Query
     vectors get their probe cells from the frozen sidecar centroids (no
-    corpus seed scan, no training); candidates come from ONE cell
-    equi-join of (qid, cell) against the cell-partitioned code table;
-    candidates are ranked by pairwise ADC over the m-BYTE codes
-    (pq_adc_pairs_arrow — the candidate join ships codes, not dim×4
-    float vectors); only each query's refine·k shortlist fetches raw
+    corpus seed scan, no training); candidates are ranked by ADC over
+    the m-BYTE codes; only each query's refine·k shortlist fetches raw
     corpus vectors for the exact-cosine rerank.
 
-    vs ivf_knn_join (exact scoring of every candidate): same join
-    shape, but the wide side's payload shrinks ~dim·4/m-fold and the
-    corpus vector fetch drops from O(candidates) to O(queries·refine·k)
-    — the difference between shuffling 256 B and 8 B per candidate at
-    10^12 scale. Self-matches rank first (their ADC is the query's own
-    quantization error); callers building a graph filter qid != id."""
+    scoring="cell" (default): ONE cogroup of (qid, cell, qvec) against
+    the cell-partitioned code table; each query's LUT is built once per
+    probed cell and only its per-cell (adist ASC, id ASC) top-refine·k
+    leaves the kernel (cell_pq_adc_topk_arrow) — the query vector
+    crosses the wire `probes` times and the scored stream is
+    O(queries × probes × refine·k), not O(candidates). scoring="pairs"
+    keeps the round-4 shape (cell equi-join, per-pair ADC kernel, the
+    query vector riding EVERY candidate row) as the A/B reference; both
+    produce identical rows (the per-cell top-k is a superset of the
+    global shortlist and the fp association orders match bit-for-bit).
+
+    vs ivf_knn_join (exact scoring of every candidate): the corpus-side
+    payload shrinks ~dim·4/m-fold and the corpus vector fetch drops
+    from O(candidates) to O(queries·refine·k) — the difference between
+    shuffling 256 B and 8 B per candidate at 10^12 scale. Self-matches
+    rank first (their ADC is the query's own quantization error);
+    callers building a graph filter qid != id."""
     from pyspark.sql import Window
 
     from ..functions.arrays import (
+        cell_pq_adc_topk_arrow,
         ivf_probe_cells_arrow,
         pairwise_cosine_arrow,
         pq_adc_pairs_arrow,
     )
 
+    if scoring not in ("cell", "pairs"):
+        raise ValueError(f"scoring must be 'cell' or 'pairs', got {scoring!r}")
     coarse, cb = _load_pq_model(spark, path)
-    q_cells = ivf_probe_cells_arrow(
-        queries.filter(F.col(id_col).isNotNull()),
-        coarse,
-        probes,
-        vec_col,
-        id_col,
-    ).withColumnRenamed(id_col, query_id_col)
     codes = spark.read.parquet(f"{path}/codes")
-    cand = q_cells.join(codes, "cell").select(query_id_col, id_col, "codes")
-    # ONE query-vector projection serves both the ADC kernel and the
-    # rerank (the queries lineage is evaluated for probes + this, not
-    # three times — the don't-refeed-expensive-lineage rule)
     qv = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qd")
     )
-    pairs = cand.join(qv, query_id_col)
-    scored = pq_adc_pairs_arrow(
-        pairs, cb, "_qd", "codes", query_id_col, id_col
-    ).filter(F.col("adist").isNotNull())
+    if scoring == "cell":
+        q_cells = ivf_probe_cells_arrow(
+            queries.filter(F.col(id_col).isNotNull()),
+            coarse,
+            probes,
+            vec_col,
+            id_col,
+            keep_vec=True,
+        ).withColumnRenamed(id_col, query_id_col)
+        scored = cell_pq_adc_topk_arrow(
+            q_cells, codes, cb, refine * k, query_id_col, id_col
+        )
+    else:
+        q_cells = ivf_probe_cells_arrow(
+            queries.filter(F.col(id_col).isNotNull()),
+            coarse,
+            probes,
+            vec_col,
+            id_col,
+        ).withColumnRenamed(id_col, query_id_col)
+        cand = q_cells.join(codes, "cell").select(
+            query_id_col, id_col, "codes"
+        )
+        pairs = cand.join(qv, query_id_col)
+        scored = pq_adc_pairs_arrow(
+            pairs, cb, "_qd", "codes", query_id_col, id_col
+        ).filter(F.col("adist").isNotNull())
     w_short = Window.partitionBy(query_id_col).orderBy(
         F.asc("adist"), F.asc(id_col)
     )
@@ -1248,13 +1371,20 @@ def ivf_knn_join(
     ).withColumnRenamed(id_col, query_id_col)
 
     if scoring == "cell":
-        raw = cell_cosine_pairs_arrow(
+        # the kernel rounds (portable half-away-from-zero — the same
+        # value F.round/DuckDB round produce) and keeps each query's
+        # per-cell top-k, so the emitted stream is O(Q·probes·k); the
+        # global window below reduces the per-cell winners to the
+        # identical final top-k
+        scored = cell_cosine_pairs_arrow(
             q_cells,
             corpus_cells,
             coarse.shape[1],
             query_id_col,
             id_col,
             corpus_blocks=corpus_blocks,
+            per_cell_topk=k,
+            round_digits=digits,
         )
     else:
         cand = q_cells.join(corpus_cells, "cell").select(
@@ -1265,12 +1395,9 @@ def ivf_knn_join(
         )
         cv = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
         pairs = cand.join(qv, query_id_col).join(cv, id_col)
-        raw = pairwise_cosine_arrow(
+        scored = pairwise_cosine_arrow(
             pairs, coarse.shape[1], "_qv", "_cv", query_id_col, id_col
+        ).select(
+            query_id_col, id_col, F.round(F.col("cos"), digits).alias("cos")
         )
-    # rounding stays Spark-side so the oracle's half-away-from-zero
-    # contract is untouched
-    scored = raw.select(
-        query_id_col, id_col, F.round(F.col("cos"), digits).alias("cos")
-    )
     return _per_query_topk(scored, query_id_col, id_col, k)

@@ -2549,3 +2549,145 @@ def test_ivf_knn_join_cell_vs_pairs_scoring_identical(spark):
     assert cell == rows_of(scoring="pairs")
     assert cell == rows_of(scoring="cell", corpus_blocks=3)
     assert len(cell) > 0
+
+
+def test_pq_knn_join_cell_vs_pairs_scoring_identical(spark, tmp_path):
+    """The cogrouped per-cell ADC-top-k scorer and the per-pair ADC
+    kernel must produce the identical kNN join (the per-cell shortlist
+    is a superset of the global shortlist and the fp association
+    orders match bit-for-bit)."""
+    import random
+
+    from fs_schema_validator_spark.operators import similarity
+
+    rng = random.Random(914)
+    centers = [_vec(8200 + c) for c in range(4)]
+    rows = [
+        (i, [v + rng.uniform(-0.1, 0.1) for v in centers[i % 4]])
+        for i in range(90)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "pqidx")
+    similarity.write_pq_index(emb, path, n_centroids=8, m=4, ks=8, n_iter=2)
+    queries = emb.filter(F.col("vec_id") % 9 == 0)
+
+    def rows_of(strategy):
+        return sorted(
+            (r.qid, r.vec_id, r.cos)
+            for r in similarity.pq_knn_join(
+                spark, path, queries, emb, k=4, probes=3, refine=2,
+                scoring=strategy,
+            ).collect()
+        )
+
+    cell = rows_of("cell")
+    assert cell == rows_of("pairs")
+    assert len(cell) > 0
+
+
+def test_semantic_dedup_pq_matches_all_pairs_kernel(spark, tmp_path):
+    """SemDeDup over the standing PQ index (code-bound screen + exact
+    verify of the uncertain band) must flag EXACTLY the rows the
+    all-pairs kernel flags — same quantizer, same rounding contract —
+    including near-threshold pairs, exact duplicates, and ineligible
+    rows (null / wrong-dim / zero vectors, null id)."""
+    import random
+
+    from fs_schema_validator_spark.operators import similarity
+
+    rng = random.Random(333)
+    centers = [_vec(4100 + c) for c in range(4)]
+    rows = []
+    for i in range(60):
+        base = centers[i % 4]
+        rows.append((i, [v + rng.uniform(-0.2, 0.2) for v in base]))
+    # exact duplicates and near-duplicates of earlier rows
+    for j, src in enumerate([3, 7, 11]):
+        rows.append((100 + j, list(rows[src][1])))
+    for j, src in enumerate([4, 8]):
+        rows.append(
+            (200 + j, [v + rng.uniform(-0.01, 0.01) for v in rows[src][1]])
+        )
+    rows += [(300, None), (301, [1.0] * 5), (302, [0.0] * 64), (None, [1.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    base_flags = {
+        (r.vec_id): (r.cell, r.is_dup)
+        for r in similarity.semantic_dedup(
+            emb, n_centroids=8, threshold=0.95
+        ).collect()
+        if r.vec_id is not None
+    }
+    path = str(tmp_path / "sdidx")
+    similarity.write_pq_index(emb, path, n_centroids=8, m=8, ks=16, n_iter=2)
+    pq_flags = {
+        (r.vec_id): (r.cell, r.is_dup)
+        for r in similarity.semantic_dedup_pq(
+            spark, path, emb, threshold=0.95
+        ).collect()
+        if r.vec_id is not None
+    }
+    assert pq_flags == base_flags
+    assert any(d for _, d in base_flags.values())  # fixture plants dups
+
+
+def test_append_token_dedup_equals_full_rebuild(spark, tmp_path):
+    """Incremental span-removal: state built over the OLD corpus, a
+    delta appended — the returned rewrites, overlaid on the old
+    corpus's original clean outputs, must equal a full
+    token_ngram_dedup rebuild over old ∪ delta; the merged state must
+    equal a from-scratch state; a retried append must be a no-op."""
+    from fs_schema_validator_spark.operators import dedup
+
+    def toks(i, n):
+        return [(i * 31 + j * 7) % 1000 for j in range(n)]
+
+    old_rows = [(f"doc-{i:03d}", toks(i, 10 + i % 7)) for i in range(40)]
+    new_rows = [(f"new-{i:03d}", toks(100 + i, 12)) for i in range(6)]
+    # re-plants of old docs: their windows flip to duplicated, so the
+    # ORIGINAL docs must be rewritten too
+    new_rows += [("rep-000", list(old_rows[5][1])),
+                 ("rep-001", list(old_rows[9][1]))]
+    # a new-only duplicate pair + degenerate rows
+    new_rows += [("twin-a", toks(500, 15)), ("twin-b", toks(500, 15)),
+                 ("deg-null", None), ("deg-short", [1, 2, 3])]
+    schema = "doc_id string, tokens array<int>"
+    old = spark.createDataFrame(old_rows, schema)
+    delta = spark.createDataFrame(new_rows, schema)
+
+    path = str(tmp_path / "tokstate")
+    dedup.write_token_dedup_state(old, path, k=8)
+    base_out = {
+        r.doc_id: (r.tokens_clean, r.n_removed)
+        for r in dedup.token_ngram_dedup(old, k=8).collect()
+    }
+    rewrites = {
+        r.doc_id: (r.tokens_clean, r.n_removed)
+        for r in dedup.append_token_dedup(delta, old, path).collect()
+    }
+    assert "rep-000" in rewrites and "doc-005" in rewrites  # old affected
+    combined = {**base_out, **rewrites}
+    full = {
+        r.doc_id: (r.tokens_clean, r.n_removed)
+        for r in dedup.token_ngram_dedup(old.unionByName(delta), k=8)
+        .collect()
+    }
+    assert combined == full
+
+    # merged state == from-scratch state over old ∪ delta
+    path2 = str(tmp_path / "tokstate2")
+    dedup.write_token_dedup_state(old.unionByName(delta), path2, k=8)
+    merged = sorted(
+        map(tuple, spark.read.parquet(f"{path}/counts").collect())
+    )
+    scratch = sorted(
+        map(tuple, spark.read.parquet(f"{path2}/counts").collect())
+    )
+    assert merged == scratch
+
+    # retried append: skip_existing makes it a no-op
+    again = dedup.append_token_dedup(delta, old, path).collect()
+    assert again == []
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{path}/counts").collect())
+    ) == scratch

@@ -46,21 +46,46 @@ LEVELS = [
 ]
 
 
-def build_corpus(spark, n: int):
-    """n DIM-dim float32 vectors: a planted cluster direction (id % 16)
-    plus a per-row pseudo-random component, so seed cells spread the
-    corpus instead of collapsing onto one direction. Deterministic,
-    never zero-norm (id+1 keeps row 0 off the all-zero vector)."""
+def build_corpus(
+    spark, n: int, n_clusters: int = 16, noise: float = 1.0,
+    manifold: bool = False,
+):
+    """n DIM-dim float32 vectors, two deterministic geometries. Default:
+    a planted cluster direction (id % n_clusters) plus a per-row
+    pseudo-random component of `noise` amplitude — the scoring A/B only
+    needs volume. `manifold=True`: a smooth 1-D curve through the
+    sphere (phase advances with id) plus tiny jitter, so true nearest
+    neighbors are the adjacent ids (cos 0.998 at distance 1, noise
+    floor by distance 50) — the LOCAL structure real embedding spaces
+    have, which the kNN-graph recall probe needs (discrete micro-
+    clusters tie-degenerate the PQ codes: every member quantizes
+    identically and recall measures tie-breaking, not the index).
+    Never zero-norm (id+1 keeps row 0 off the all-zero vector)."""
+    if manifold:
+        comp = lambda i: (
+            F.sin((F.col("id") + 1) * 0.002 * (i * 0.37 + 1)) * 1.5
+            + F.sin((F.col("id") + 1) * i * 0.618) * 0.05
+        ).cast("float")
+    else:
+        # hash-based components: sin(id * c * i) noise ALIASES (ids ~10
+        # apart share phase mod 2π and come out near-duplicate — it
+        # poisoned the semantic-dedup probe with 75% phantom dups);
+        # sin(xxhash64(...)) is effectively uniform and collision-free
+        comp = lambda i: (
+            F.sin(
+                F.xxhash64(F.lit("c"), F.col("id") % n_clusters, i)
+                .cast("double")
+            )
+            * 1.5
+            + F.sin(F.xxhash64(F.lit("n"), F.col("id"), i).cast("double"))
+            * noise
+        ).cast("float")
     df = (
         spark.range(n)
         .select(
             F.col("id").alias("vec_id"),
             F.transform(
-                F.sequence(F.lit(1), F.lit(DIM)),
-                lambda i: (
-                    F.sin((F.col("id") % 16 + 1) * i) * 1.5
-                    + F.sin((F.col("id") + 1) * i * 0.618)
-                ).cast("float"),
+                F.sequence(F.lit(1), F.lit(DIM)), comp
             ).alias("embedding"),
         )
         .repartition(32)
