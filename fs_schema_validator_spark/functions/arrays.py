@@ -1410,12 +1410,16 @@ def pairwise_cosine_arrow(
     a corpus vector and one vectorized pass computes
     ``dot(q, c) / (|q| * |c|)`` per batch.
 
-    This replaces the ``zip_with``/``aggregate`` HOF-lambda cosine on
-    corpus-wide candidate streams: Spark HOF lambdas are interpreted
-    (non-codegen) and at kNN-graph scale (queries == corpus) the
-    candidate stream is ~N·probes·avg_cell pairs, so the per-pair
-    interpreter cost is the dominant CPU term (measured ≥2× in
-    tools/bench_pairwise_cosine.py). Semantics mirror the HOF
+    Role: the exact scorer for streams that ALREADY carry both vectors
+    per row — the rerank stages (shortlists of O(Q·refine·k)) and the
+    'pairs' A/B strategy of the kNN joins. It is NOT the corpus-wide
+    hot path: measured (tools/bench_pairwise_cosine.py), shipping
+    2×dim×4 B of vectors per candidate through the shuffle and Arrow
+    IPC costs more than the interpreted HOF lambdas it replaces (kernel
+    compute is 1.6 µs/row; the payload is the hot term), which is why
+    the kNN joins default to the cogrouped cell scorer
+    (cell_cosine_pairs_arrow — vectors cross the wire once per cell,
+    not once per pair). Semantics mirror the HOF
     expression: a null / wrong-dimension vector on either side → NULL
     (zip_with length-pads with null), and non-finite arithmetic
     propagates as IEEE values. One deliberate divergence: a zero norm
@@ -1758,8 +1762,8 @@ def pq_code_screen_pairs_arrow(
     qerr. Per cell (rows id-sorted, keep-first orientation a < b),
     blockwise over the same O(m²) SemDeDup flop budget:
 
-      * upper bound < threshold − slack  → pair PROVEN clean: dropped —
-        the common case, and it never touched a vector;
+      * upper bound < threshold − slack  → pair PROVEN clean: dropped
+        without ever touching a vector;
       * lower bound ≥ threshold + slack → b PROVEN dup: ONE
         (null, id_b, certain=true) row, no verify;
       * otherwise → (id_a, id_b, certain=false) candidate for the

@@ -753,13 +753,24 @@ def semantic_dedup_pq(
       quantization error, never vectors — the cell-grouped relation
       shrinks ~(dim·4)/(m+8)-fold, and the codes table is already
       cell-partitioned so the screen's only wide move is its output;
-    * pq_code_screen_pairs_arrow PROVES most pairs clean (upper bound
-      below threshold) or dup (lower bound above) from the codes alone;
-      only the uncertain band fetches raw vectors for the exact rounded
+    * pq_code_screen_pairs_arrow PROVES pairs clean (upper bound below
+      threshold) or dup (lower bound above) from the codes alone; only
+      the uncertain band fetches raw vectors for the exact rounded
       cosine — the candidates-only pattern the LSH family uses;
     * exactness is preserved: the bounds bracket the true cosine with
       rounding slack, so certain ∪ verified == the all-pairs flags
       (asserted in tests against semantic_dedup on the same quantizer).
+
+    Operating envelope (measured, tools/bench_semantic_pq.py): the
+    screen's pruning power is the threshold margin (threshold − bulk
+    in-cell cosine) against ~2·qerr. Codes must be fine enough that
+    2·qerr < margin — at dim 64 that was m=32/ks=256 (99% of pairs
+    proven from codes); at m=8 (qerr ≈ 0.5) the bounds resolve nothing
+    and the operator degrades to all-pairs-verify, slower than
+    semantic_dedup's direct BLAS. Check the index's stored `qerr`
+    percentiles against your margin before choosing this path; the
+    win grows with embedding width (the vector kernel shuffles dim×4 B
+    per row, the screen m+8 B).
 
     The index's coarse quantizer defines the cells — build the index
     with the same `centroids` you would hand semantic_dedup for
