@@ -32,6 +32,17 @@ from fs_schema_validator_spark.engine import ValidationEngine  # noqa: E402
 from fs_schema_validator_spark.session import get_spark  # noqa: E402
 from fs_schema_validator_spark.sources import synth  # noqa: E402
 
+def read_cpu() -> tuple[int, int]:
+    """(total jiffies, steal jiffies) from /proc/stat line 1 — ONE copy:
+    both the seq and ngram steal columns must measure identically."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except OSError:
+        return 0, 0
+
+
 # Queries that are part of the timed headline suite. The quadratic
 # jaccard_pairs oracle and the tiny-output probes are excluded.
 HEADLINE = [
@@ -228,14 +239,6 @@ def bench_sequences(spark, sf_dir: str) -> dict:
     # time — measured 4.7-16.7s for identical input), so the minimum is
     # the capability statistic; a long-running cluster job sits at the
     # fully-tiered steady state the min approximates.
-    def read_cpu() -> tuple[int, int]:
-        try:
-            with open("/proc/stat") as f:
-                vals = [int(x) for x in f.readline().split()[1:]]
-            return sum(vals), vals[7] if len(vals) > 7 else 0
-        except OSError:
-            return 0, 0
-
     timings = []
     steals = []
     n_viol = 0
@@ -454,14 +457,6 @@ def bench_token_ngram(spark, seq_path: str) -> dict:
     seq = spark.read.parquet(seq_path).filter(
         F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
     )
-
-    def read_cpu() -> tuple[int, int]:
-        try:
-            with open("/proc/stat") as f:
-                vals = [int(x) for x in f.readline().split()[1:]]
-            return sum(vals), vals[7] if len(vals) > 7 else 0
-        except OSError:
-            return 0, 0
 
     times = []
     steals = []

@@ -1703,15 +1703,18 @@ def cell_pq_adc_topk_arrow(
         uq = uq[qi]
         nc = len(ci)
         kk = min(topk, nc)
-        # all LUTs for the cell's queries in one pass: (nq, m, ks)
-        luts = ((uq.reshape(len(qi), m, 1, sub) - cb[None]) ** 2).sum(-1)
         out_q, out_c, out_s = [], [], []
-        # bound the (chunk, nc, m) partials block to ~64 MB
-        chunk = max(1, int(8_000_000 / max(nc * m, 1)))
+        # bound BOTH per-chunk blocks to ~64 MB: the (chunk, nc, m)
+        # partials AND the (chunk, m, ks) LUTs — LUTs are built per
+        # chunk, not for the whole cell up front (a hot cell probed by
+        # 10^6 queries would otherwise allocate nq·m·ks·8 B ≈ tens of
+        # GB in one task before the loop even starts)
+        chunk = max(1, int(8_000_000 / max(nc * m, m * ks, 1)))
         for lo in range(0, len(qi), chunk):
             qs = slice(lo, lo + chunk)
-            lc = luts[qs]
-            nqc = lc.shape[0]
+            nqc = min(chunk, len(qi) - lo)
+            # this chunk's LUTs: (nqc, m, ks)
+            lc = ((uq[qs].reshape(nqc, m, 1, sub) - cb[None]) ** 2).sum(-1)
             parts = np.empty((nqc, nc, m))
             for s in range(m):
                 parts[:, :, s] = lc[:, s][:, codes[:, s]]
@@ -1782,8 +1785,17 @@ def pq_code_screen_pairs_arrow(
     id_field = codes_cells.schema[id_col]
     id_t = id_field.dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}, certain boolean"
-    # round(cos) >= t  <=>  cos >= t - 0.5 * 10^-digits (half-away)
-    t_eff = threshold - 0.5 * 10.0 ** (-digits)
+    # round(cos) >= t  <=>  round(cos) >= (smallest GRID point >= t)
+    #                  <=>  cos >= that grid point - 0.5 * 10^-digits.
+    # The ceil matters for OFF-grid thresholds (t = 0.951234, digits=5:
+    # the dup condition is cos >= 0.951235, not t - 0.5e-5 = 0.951229 —
+    # skipping it would let the lower-bound proof flag pairs the exact
+    # kernel rejects); the -1e-9 guards fp like 0.95124*1e5 landing at
+    # 95124.00000000001 and ceiling to the NEXT grid point.
+    import math
+
+    scale = 10.0 ** digits
+    t_eff = math.ceil(threshold * scale - 1e-9) / scale - 0.5 / scale
     eps = 1e-9
     src = codes_cells.select(
         "cell",
@@ -1833,10 +1845,10 @@ def pq_code_screen_pairs_arrow(
             )
             upper = rdot + x
             lower = rdot - x
+            # each b index is visited exactly once across blocks (lo
+            # strides by `block`), so no cross-block skip logic exists
             for kk in range(hi - lo):
                 b = lo + kk
-                if certain[b]:
-                    continue
                 if (lower[kk, :b] >= t_eff + eps).any():
                     certain[b] = True
                     continue

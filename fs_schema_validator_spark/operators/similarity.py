@@ -782,11 +782,17 @@ def semantic_dedup_pq(
         pairwise_cosine_arrow,
         pq_code_screen_pairs_arrow,
     )
+    from ..functions.cache import track
 
     coarse, cb = _load_pq_model(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
-    screen = pq_code_screen_pairs_arrow(
-        codes, cb, threshold, digits, id_col=id_col
+    # the screen feeds two branches (certain + uncertain) — cache it or
+    # the O(cell²) code kernel runs twice per action (the repo's
+    # don't-refeed-expensive-lineage rule)
+    screen = track(
+        pq_code_screen_pairs_arrow(
+            codes, cb, threshold, digits, id_col=id_col
+        ).cache()
     )
     certain = screen.filter(F.col("certain")).select(
         F.col("id_b").alias(id_col)
@@ -1338,9 +1344,14 @@ def ivf_knn_join(
     filter qid != vec_id.
 
     Fully deterministic and SQL-replayable: id-ordered seeds, stable
-    probe/assignment tie-breaks, rounded scores (both scorings emit
-    identical rounded rows — the driver gate `knn_join_topk` holds
-    either way)."""
+    probe/assignment tie-breaks, rounded scores. The two scorings use
+    different fp association orders (normalize-then-BLAS vs
+    dot-over-norm-product), so "identical rows" holds up to the
+    rounding contract — a cosine sitting within one ulp of a
+    half-away boundary could theoretically round apart between them,
+    the same last-ulp class the engine already accepts vs its DuckDB
+    oracles (probability ~1e-10/pair; the driver gate `knn_join_topk`
+    holds for either scoring)."""
     from ..functions.arrays import (
         cell_cosine_pairs_arrow,
         ivf_assign_arrow,
@@ -1350,6 +1361,10 @@ def ivf_knn_join(
 
     if scoring not in ("cell", "pairs"):
         raise ValueError(f"scoring must be 'cell' or 'pairs', got {scoring!r}")
+    if corpus_blocks > 1 and scoring != "cell":
+        # hot-cell salting only exists in the cogroup path; silently
+        # dropping it would strip the task-size bound the caller asked for
+        raise ValueError("corpus_blocks requires scoring='cell'")
     # a trained quantizer (train_centroids_kmeans) spreads hot cells —
     # the mitigation when the seed sample would crowd one cell; the SQL-
     # replayable driver gate uses the deterministic seed default

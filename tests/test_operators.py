@@ -2630,6 +2630,27 @@ def test_semantic_dedup_pq_matches_all_pairs_kernel(spark, tmp_path):
     assert pq_flags == base_flags
     assert any(d for _, d in base_flags.values())  # fixture plants dups
 
+    # OFF-GRID threshold: round(cos, 5) >= 0.951234 is the same
+    # condition as >= 0.95124 — the screen's certainty grid must ceil
+    # to the rounding grid or the lower-bound proof flags pairs the
+    # exact kernel rejects
+    for thr in (0.951234, 0.89999):
+        a = {
+            r.vec_id: r.is_dup
+            for r in similarity.semantic_dedup(
+                emb, n_centroids=8, threshold=thr
+            ).collect()
+            if r.vec_id is not None
+        }
+        b = {
+            r.vec_id: r.is_dup
+            for r in similarity.semantic_dedup_pq(
+                spark, path, emb, threshold=thr
+            ).collect()
+            if r.vec_id is not None
+        }
+        assert a == b, thr
+
 
 def test_append_token_dedup_equals_full_rebuild(spark, tmp_path):
     """Incremental span-removal: state built over the OLD corpus, a
