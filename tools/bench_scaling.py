@@ -27,6 +27,8 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
+SENTINEL = "\n<!-- bench_scaling.py generated content ends here; sections below are preserved across runs -->\n"
+
 WORKER = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
@@ -199,8 +201,20 @@ equality rule, broadcast dims for referential/token-range, partial-agg
 histograms for drift — per-partition work is embarrassingly parallel and
 shuffle volume is O(keys), not O(tokens).
 """
+    md += SENTINEL
     out = REPO / "BENCH" / "BASELINE.md"
     out.parent.mkdir(exist_ok=True)
+    # PRESERVE the manually-appended probe sections (scale-step, PQ
+    # index, kNN-graph, round captures...) — this tool owns only the
+    # scaling-evidence header above the sentinel
+    if out.exists():
+        old = out.read_text()
+        if SENTINEL in old:
+            md += old.split(SENTINEL, 1)[1]
+        else:
+            i = old.find("\n## Round-3 headline")
+            if i >= 0:
+                md += old[i:]
     out.write_text(md)
     print(md)
 
