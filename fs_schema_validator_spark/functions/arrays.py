@@ -1642,6 +1642,7 @@ def cell_pq_adc_topk_arrow(
     query_id_col: str,
     id_col: str,
     codes_col: str = "codes",
+    corpus_blocks: int = 1,
 ) -> DataFrame:
     """(qid, id, adist double) — each query's per-cell ADC top-k against
     a cell's PQ codes, as ONE cogroup: the standing-index analog of
@@ -1672,6 +1673,25 @@ def cell_pq_adc_topk_arrow(
     right_src = codes_cells.select(
         "cell", F.col(id_col), F.col(codes_col).alias("_c")
     )
+    keys = ["cell"]
+    if corpus_blocks > 1:
+        # hot-cell salting, same contract as cell_cosine_pairs_arrow:
+        # the per-(cell, block) top-k unions to a superset of the
+        # per-cell top-k for ANY id partitioning, so results are
+        # identical while one giant cell becomes `blocks` bounded tasks
+        right_src = right_src.withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(corpus_blocks))
+        )
+        left_src = left_src.withColumn(
+            "_blk",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(corpus_blocks - 1).cast("long"),
+                )
+            ),
+        )
+        keys = ["cell", "_blk"]
     sub_idx = np.arange(m)
 
     def score(left: pa.Table, right: pa.Table) -> pa.Table:
@@ -1740,8 +1760,8 @@ def cell_pq_adc_topk_arrow(
         )
 
     return (
-        left_src.groupBy("cell")
-        .cogroup(right_src.groupBy("cell"))
+        left_src.groupBy(*keys)
+        .cogroup(right_src.groupBy(*keys))
         .applyInArrow(score, out_schema)
     )
 

@@ -1205,6 +1205,7 @@ def pq_knn_join(
     query_id_col: str = "qid",
     digits: int = 5,
     scoring: str = "cell",
+    corpus_blocks: int = 1,
 ) -> DataFrame:
     """(qid, vec_id, cos) — batch kNN against a write_pq_index layout:
     the kNN-graph primitive at the standing index's cost model. Query
@@ -1241,6 +1242,8 @@ def pq_knn_join(
 
     if scoring not in ("cell", "pairs"):
         raise ValueError(f"scoring must be 'cell' or 'pairs', got {scoring!r}")
+    if corpus_blocks > 1 and scoring != "cell":
+        raise ValueError("corpus_blocks requires scoring='cell'")
     coarse, cb = _load_pq_model(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     qv = queries.select(
@@ -1256,7 +1259,8 @@ def pq_knn_join(
             keep_vec=True,
         ).withColumnRenamed(id_col, query_id_col)
         scored = cell_pq_adc_topk_arrow(
-            q_cells, codes, cb, refine * k, query_id_col, id_col
+            q_cells, codes, cb, refine * k, query_id_col, id_col,
+            corpus_blocks=corpus_blocks,
         )
     else:
         q_cells = ivf_probe_cells_arrow(

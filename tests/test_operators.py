@@ -2571,17 +2571,18 @@ def test_pq_knn_join_cell_vs_pairs_scoring_identical(spark, tmp_path):
     similarity.write_pq_index(emb, path, n_centroids=8, m=4, ks=8, n_iter=2)
     queries = emb.filter(F.col("vec_id") % 9 == 0)
 
-    def rows_of(strategy):
+    def rows_of(strategy, **kw):
         return sorted(
             (r.qid, r.vec_id, r.cos)
             for r in similarity.pq_knn_join(
                 spark, path, queries, emb, k=4, probes=3, refine=2,
-                scoring=strategy,
+                scoring=strategy, **kw,
             ).collect()
         )
 
     cell = rows_of("cell")
     assert cell == rows_of("pairs")
+    assert cell == rows_of("cell", corpus_blocks=3)
     assert len(cell) > 0
 
 

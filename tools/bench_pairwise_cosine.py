@@ -6,8 +6,16 @@ remaining non-codegen HOF path on a corpus-wide stream (Spark HOF lambdas
 — zip_with/aggregate — are interpreted per element). This probe times both
 scorings over the SAME materialized (qid, id, qv, cv) pair table at two
 sizes, fresh pair data each size, min of `passes` steady-state passes
-after one warmup. Acceptance (VERDICT round 4 ask #1): kernel >= 2x on
->= 1e5 candidate pairs.
+after one warmup.
+
+MEASURED RESULT (the probe's reason to exist in the repo): the verdict's
+hypothesized fix LOSES — at dim 64 the per-pair kernel runs 0.5-0.6x the
+HOF path, because each pair row ships 2x256 B of vectors through the
+shuffle and Arrow IPC while the kernel's compute is only 1.6 us/row. The
+payload, not the interpreter, is the hot term on Spark 4.1; the fix that
+actually won is the cogrouped per-cell BLAS scorer
+(cell_cosine_pairs_arrow, see tools/bench_knn_scoring.py: 8-10x over
+HOF). This probe stays as the evidence for that design decision.
 
 Usage: python tools/bench_pairwise_cosine.py [n_pairs ...]
 """
