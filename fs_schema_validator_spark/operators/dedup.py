@@ -355,6 +355,30 @@ def lsh_candidate_pairs(
     on band-slice equality, so the oracle-gated query uses this form; the
     shuffle key grows to rows_per_band*8 bytes)."""
 
+    banded = banded_rows(signatures, bands, rows_per_band, bucket)
+    return bucket_pairs(
+        banded, ["band", "bucket"], "doc_id", "doc_a", "doc_b", max_bucket
+    )
+
+
+def banded_rows(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    bucket: str = "hash",
+) -> DataFrame:
+    """(doc_id, band, bucket) — the exploded LSH banding relation, the
+    ONE construction shared by lsh_candidate_pairs and the incremental
+    dedup state (a state whose band keys were built differently would
+    silently miss cross-batch collisions).
+
+    NULL signatures (null/empty-shingle docs — the Arrow wrappers emit
+    them as null rows, see arrays._degenerate_rows) are dropped HERE:
+    the banding transform maps a null sig to `bands` rows with a null
+    bucket, and groupBy treats null buckets as equal — every degenerate
+    doc would land in one bucket and pair with all others, while the
+    SQL oracle's NULL band keys emit no pairs."""
+
     def bucket_of(b: Column) -> Column:
         if bucket == "tuple":
             return F.slice(
@@ -373,19 +397,10 @@ def lsh_candidate_pairs(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(b.alias("band"), bucket_of(b).alias("bucket")),
     )
-    # NULL signatures (null/empty-shingle docs — the Arrow wrappers emit
-    # them as null rows, see arrays._degenerate_rows) must be dropped
-    # HERE: the banding transform maps a null sig to `bands` rows with a
-    # null bucket, and groupBy treats null buckets as equal — every
-    # degenerate doc would land in one bucket and pair with all others,
-    # while the SQL oracle's NULL band keys emit no pairs.
-    banded = (
+    return (
         signatures.filter(F.col("sig").isNotNull())
         .select("doc_id", F.explode(bucket_structs).alias("bb"))
         .select("doc_id", "bb.band", "bb.bucket")
-    )
-    return bucket_pairs(
-        banded, ["band", "bucket"], "doc_id", "doc_a", "doc_b", max_bucket
     )
 
 
@@ -1060,3 +1075,151 @@ def append_token_dedup(
     pdc_new.unpersist()
     merged_delta.unpersist()
     return out
+
+
+def write_minhash_dedup_state(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    bucket: str = "hash",
+    threshold: float = 0.5,
+    max_bucket: "int | None" = 512,
+) -> str:
+    """Materialize the STANDING state of MinHash-LSH near-dup detection
+    — the document-level sibling of write_token_dedup_state: one
+    signature pass over the corpus persists
+
+      * ``bands``: the (doc_id, band, bucket) banding relation — the
+        reverse index an append probes to find which EXISTING docs a
+        new document collides with, without re-signaturing history;
+      * ``pairs``: the verified (doc_a, doc_b, jaccard) near-dup edges
+        of the corpus so far — cluster labels (connected components)
+        rebuild from THIS compact relation, never from text;
+      * ``docs``: every ingested id (membership for idempotent retries
+        — degenerate docs have no band rows, the docs relation keeps
+        them members anyway);
+      * ``meta``: the LSH parameters; an append with mismatched
+        hashing/banding fails fast instead of mixing key spaces.
+
+    The initial pairs are the full pipeline's own output
+    (lsh_candidate_pairs → verify_candidate_pairs), so state + appends
+    stay equivalent to a from-scratch rebuild (asserted in tests)."""
+    spark = df.sparkSession
+    sigs = minhash_signatures_portable(df, text_col, k, num_perm)
+    banded = banded_rows(sigs, bands, rows_per_band, bucket)
+    banded.write.mode("overwrite").parquet(f"{path}/bands")
+    cand = bucket_pairs(
+        banded, ["band", "bucket"], "doc_id", "doc_a", "doc_b", max_bucket
+    )
+    verify_candidate_pairs(df, cand, text_col, k, threshold).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/pairs")
+    df.select("doc_id").distinct().write.mode("overwrite").parquet(
+        f"{path}/docs"
+    )
+    spark.createDataFrame(
+        [(k, num_perm, bands, rows_per_band, bucket, float(threshold))],
+        "k int, num_perm int, bands int, rows_per_band int, "
+        "bucket string, threshold double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return path
+
+
+def append_minhash_dedup(
+    df_new: DataFrame,
+    corpus_old: DataFrame,
+    path: str,
+    text_col: str = "text",
+    max_bucket: "int | None" = 512,
+    skip_existing: bool = True,
+) -> DataFrame:
+    """Incrementally ingest `df_new` against a write_minhash_dedup_state
+    layout and return the NEW verified near-dup pairs — within-delta
+    pairs plus every (existing, new) collision — while updating the
+    state. The historical corpus is never re-signatured: new docs get
+    one signature pass, their band keys probe the persisted banding
+    relation (an equi-join on (band, bucket) — the reverse index), and
+    exact-Jaccard verification touches only candidate participants
+    (fetched from corpus_old ∪ df_new by id).
+
+    `max_bucket` bounds the cross expansion on hot buckets exactly like
+    bucket_pairs' cap: at most the first `max_bucket` id-ordered
+    existing members pair fully with a colliding new doc, members
+    beyond that are represented by the bucket-min star edge — a full
+    bucket is by definition a dup cluster, so membership is preserved
+    at linear cost. With max_bucket=None append-then-state ≡
+    from-scratch rebuild exactly (asserted in tests); capped, the two
+    coincide whenever buckets stay under the cap (the oracle-scale
+    regime). Retries are idempotent via the docs membership anti-join.
+    State writes are NOT atomic — wrap in your table format's
+    transaction for concurrent ingest."""
+    spark = df_new.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    k, num_perm = int(meta["k"]), int(meta["num_perm"])
+    bands, rows_per_band = int(meta["bands"]), int(meta["rows_per_band"])
+    bucket_mode, threshold = meta["bucket"], float(meta["threshold"])
+    if skip_existing:
+        existing = spark.read.parquet(f"{path}/docs")
+        df_new = df_new.join(existing, "doc_id", "left_anti")
+    sigs_new = minhash_signatures_portable(df_new, text_col, k, num_perm)
+    banded_new = banded_rows(
+        sigs_new, bands, rows_per_band, bucket_mode
+    ).persist()
+    # within-delta candidates: the plain capped bucket expansion
+    cand_delta = bucket_pairs(
+        banded_new, ["band", "bucket"], "doc_id", "doc_a", "doc_b",
+        max_bucket,
+    )
+    # cross candidates: probe the persisted reverse index. Old members
+    # per colliding bucket are capped id-ordered (clique-with-the-new
+    # up to the cap + bucket-min star edge), mirroring bucket_pairs'
+    # hot-bucket contract.
+    bands_old = spark.read.parquet(f"{path}/bands")
+    hit_old = bands_old.join(
+        banded_new.select("band", "bucket").distinct(), ["band", "bucket"]
+    )
+    grouped_old = hit_old.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("_olds")
+    )
+    olds = (
+        F.col("_olds")
+        if max_bucket is None
+        else F.concat(
+            F.slice(F.col("_olds"), 1, max_bucket),
+            F.when(
+                F.size("_olds") > max_bucket,
+                F.array(F.element_at(F.col("_olds"), 1)),
+            ).otherwise(F.array()),
+        )
+    )
+    cross = (
+        banded_new.join(grouped_old, ["band", "bucket"])
+        .select(
+            F.col("doc_id").alias("_new"),
+            F.explode(F.array_distinct(olds)).alias("_old"),
+        )
+        .select(
+            F.least("_new", "_old").alias("doc_a"),
+            F.greatest("_new", "_old").alias("doc_b"),
+        )
+        .distinct()
+    )
+    cand = cand_delta.unionByName(cross).distinct()
+    participants_src = corpus_old.select("doc_id", text_col).unionByName(
+        df_new.select("doc_id", text_col)
+    )
+    new_pairs = verify_candidate_pairs(
+        participants_src, cand, text_col, k, threshold
+    ).localCheckpoint(eager=True)  # sever lineage before state writes
+
+    banded_new.write.mode("append").parquet(f"{path}/bands")
+    new_pairs.write.mode("append").parquet(f"{path}/pairs")
+    df_new.select("doc_id").distinct().write.mode("append").parquet(
+        f"{path}/docs"
+    )
+    banded_new.unpersist()
+    return new_pairs

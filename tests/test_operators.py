@@ -2713,3 +2713,63 @@ def test_append_token_dedup_equals_full_rebuild(spark, tmp_path):
     assert sorted(
         map(tuple, spark.read.parquet(f"{path}/counts").collect())
     ) == scratch
+
+
+def test_append_minhash_dedup_equals_full_rebuild(spark, tmp_path):
+    """Incremental MinHash-LSH: state over the OLD corpus + an appended
+    delta must accumulate exactly the verified pair set a from-scratch
+    rebuild over old ∪ delta produces (max_bucket=None so capped and
+    uncapped coincide); a retried append is a no-op."""
+    from fs_schema_validator_spark.operators import dedup
+
+    def doc(i, extra=""):
+        return (
+            f"d-{i:03d}",
+            f"the quick brown fox {i} jumps over the lazy dog "
+            f"pack my box with five dozen liquor jugs {i % 7} {extra}",
+        )
+
+    old_rows = [doc(i) for i in range(30)]
+    new_rows = [doc(100 + i) for i in range(6)]
+    # near-copies of OLD docs (cross-batch pairs) and an exact pair
+    # within the delta
+    new_rows += [(f"n-{j}", old_rows[j][1] + " tail") for j in (2, 5)]
+    new_rows += [("twin-a", "alpha beta gamma delta epsilon zeta eta " * 3),
+                 ("twin-b", "alpha beta gamma delta epsilon zeta eta " * 3),
+                 ("deg-null", None), ("deg-empty", "")]
+    schema = "doc_id string, text string"
+    old = spark.createDataFrame(old_rows, schema)
+    delta = spark.createDataFrame(new_rows, schema)
+
+    path = str(tmp_path / "mhstate")
+    dedup.write_minhash_dedup_state(old, path, max_bucket=None)
+    new_pairs = dedup.append_minhash_dedup(
+        delta, old, path, max_bucket=None
+    ).collect()
+    cross = {(r.doc_a, r.doc_b) for r in new_pairs}
+    assert ("d-002", "n-2") in cross and ("twin-a", "twin-b") in cross
+
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{path}/pairs").collect())
+    )
+    both = old.unionByName(delta)
+    want = sorted(
+        map(
+            tuple,
+            dedup.verify_candidate_pairs(
+                both,
+                dedup.lsh_candidate_pairs(
+                    dedup.minhash_signatures_portable(both),
+                    max_bucket=None,
+                ),
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len(want) > 2
+
+    again = dedup.append_minhash_dedup(delta, old, path, max_bucket=None)
+    assert again.count() == 0
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{path}/pairs").collect())
+    ) == want
