@@ -849,6 +849,32 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.verify_candidate_pairs(docs, cand, k=3, threshold=0.5)
 
 
+def minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental near-dup pipeline REPLAYING the batch result:
+    two-thirds of the documents seed a write_minhash_dedup_state layout
+    (signatures → banding reverse-index → verified pairs), the
+    remaining third arrives as an append (delta-only signatures, index
+    probe for cross-batch candidates, candidates-only verify), and the
+    ACCUMULATED pair state is returned. Value-gated against the same
+    O(n²) exact-Jaccard oracle as minhash_dedup_verified — at the
+    fixture's near-dup Jaccard (≥ 0.88) LSH recall is ~1, so
+    state+append must reproduce the exact pair set a from-scratch batch
+    run (and the all-pairs oracle) produces. State is rebuilt
+    deterministically per call (the write overwrites all four
+    relations)."""
+    import hashlib
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/fsv_mh_state_{tag}"
+    dedup.write_minhash_dedup_state(old, path, max_bucket=None)
+    dedup.append_minhash_dedup(delta, old, path, max_bucket=None)
+    return spark.read.parquet(f"{path}/pairs")
+
+
 def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = sketches.ks_vs_global(
@@ -2198,6 +2224,49 @@ def token_ngram_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-SPAN removal replaying the batch rewrite:
+    the shared token-dedup corpus is split deterministically (generator
+    ordinal % 3 == 0 plus the degenerate rows arrive as the DELTA), a
+    write_token_dedup_state layout is built over the rest, the delta is
+    appended (delta-only window kernel, counts merge on the delta's
+    hashes, reverse lookup of affected existing docs), and the
+    OVERLAYED output — original rewrites for unaffected docs, append
+    rewrites for delta ∪ affected — is serialized exactly like
+    token_ngram_dedup_clean. Value-gated against the SAME closed-form
+    span-removal oracle: incremental ≡ batch at the driver's hash
+    level, not just in pytest."""
+    import hashlib
+    import tempfile
+
+    from fs_schema_validator_spark.operators import dedup
+
+    corpus = _ngram_corpus(spark)
+    ordinal = F.regexp_extract("doc_id", r"-(\d+)$", 1)
+    is_delta = (
+        (ordinal != "") & (ordinal.cast("long") % 3 == 0)
+    ) | F.col("doc_id").startswith("deg-")
+    old = corpus.filter(~is_delta)
+    delta = corpus.filter(is_delta)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/fsv_tok_state_{tag}"
+    dedup.write_token_dedup_state(old, path, k=_NGRAM_K)
+    base = dedup.token_ngram_dedup(old, k=_NGRAM_K)
+    rewrites = dedup.append_token_dedup(delta, old, path)
+    combined = base.join(
+        rewrites.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(rewrites)
+    toks = F.col("tokens_clean")
+    return combined.select(
+        "doc_id",
+        F.size(toks).alias("n_clean"),
+        F.col("n_removed"),
+        F.md5(
+            F.array_join(F.transform(toks, lambda t: t.cast("string")), ",")
+        ).alias("clean_md5"),
+    )
+
+
 def _token_span_dedup_oracle(
     n: int = _NGRAM_N,
     k: int = _NGRAM_K,
@@ -2552,6 +2621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_pq": ann_topk_ivf_pq,
         "knn_join_topk": knn_join_topk,
         "pq_knn_join_topk": pq_knn_join_topk,
+        "minhash_dedup_incremental": minhash_dedup_incremental,
+        "token_dedup_incremental": token_dedup_incremental,
     }
 
 
@@ -3522,6 +3593,10 @@ FROM reach GROUP BY a
             ("ivf_pq", "ann_topk_ivf_pq"),
         ]
     )
+    # the incremental state must accumulate the SAME pair set the batch
+    # pipeline (and its O(n²) exact oracle) produces
+    d["minhash_dedup_incremental"] = d["minhash_dedup_verified"]
+    d["token_dedup_incremental"] = d["token_ngram_dedup_clean"]
     d["packing_pipelines"] = (
         "SELECT 'chars' AS mode, lang AS grp, CAST(doc_id AS VARCHAR) AS k, "
         "CAST(n_chars AS BIGINT) AS length, start_bin, start_offset, "
