@@ -1733,13 +1733,11 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_join_oracle(k: int = 5, probes: int = _ANN_PROBES) -> str:
-    """DuckDB replay of knn_join_topk: shared seed window, corpus
-    home-cell assignment (argmax dp/nrm, cell ASC ties), per-query
-    top-`probes` probe cells, candidate cell join, exact cosine,
-    row_number per query."""
-    return f"""
-WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+def _ivf_assign_ctes() -> str:
+    """The shared coarse-assignment replay (cent, cn, vn, cdot, assign)
+    — ONE text used by the batch kNN oracle and the embedding-drift
+    oracle, so the two cannot model different quantizers."""
+    return f"""cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                      embedding
               FROM {_SEED_WINDOW_SQL}),
 cn AS (SELECT cell, sqrt(sum(CAST(embedding[i] AS DOUBLE)
@@ -1761,7 +1759,16 @@ assign AS (SELECT vec_id, cell FROM (
                     row_number() OVER (PARTITION BY d.vec_id
                                        ORDER BY d.dp / n.nrm DESC,
                                                 d.cell ASC) AS rk
-             FROM cdot d JOIN cn n USING (cell)) WHERE rk = 1),
+             FROM cdot d JOIN cn n USING (cell)) WHERE rk = 1)"""
+
+
+def _knn_join_oracle(k: int = 5, probes: int = _ANN_PROBES) -> str:
+    """DuckDB replay of knn_join_topk: shared seed window, corpus
+    home-cell assignment (argmax dp/nrm, cell ASC ties), per-query
+    top-`probes` probe cells, candidate cell join, exact cosine,
+    row_number per query."""
+    return f"""
+WITH {_ivf_assign_ctes()},
 qprobe AS (SELECT vec_id AS qid, cell FROM (
              SELECT d.vec_id, d.cell,
                     row_number() OVER (PARTITION BY d.vec_id
@@ -1907,6 +1914,52 @@ s AS (SELECT qid, vec_id, round(sum(a * b) /
         "                            ORDER BY cos DESC, vec_id ASC) AS rk\n"
         f"  FROM s) WHERE rk <= {k}"
     )
+
+
+def embedding_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space distribution drift per lang
+    (similarity.embedding_cell_drift): the drift validator family (PSI
+    vs global over the full group×bucket grid) applied to the embedding
+    column, with the pinned IVF quantizer's cells as the buckets and
+    lang labels joined from documents on the shared id. A lang whose
+    vectors crowd cells the corpus spreads over surfaces exactly like a
+    drifting scalar column in histogram_psi — the same EPS clamp, the
+    same missing-bucket terms."""
+    emb = _t(spark, sf_dir, "embeddings")
+    labels = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("vec_id"), F.col("lang").alias("grp"))
+    )
+    out = similarity.embedding_cell_drift(
+        emb, labels, n_centroids=_ANN_N_CENT
+    )
+    return out.select(F.col("grp").alias("lang"), "psi")
+
+
+def _embedding_drift_oracle() -> str:
+    """DuckDB replay of embedding_drift_cells: the shared coarse
+    assignment (_ivf_assign_ctes — identical text to the kNN-join
+    replay) + the lang label join + the PSI grid tail (clamp both
+    masses at 1e-6, full lang × occupied-cell grid)."""
+    return f"""
+WITH {_ivf_assign_ctes()},
+lab AS (SELECT a.vec_id, d.lang, a.cell AS bucket
+        FROM assign a JOIN documents d ON d.doc_id = a.vec_id
+        WHERE d.lang IS NOT NULL),
+hist AS (SELECT lang, bucket, count(*) AS cnt FROM lab GROUP BY 1, 2),
+tot AS (SELECT lang, sum(cnt) AS total FROM hist GROUP BY lang),
+g AS (SELECT bucket, sum(cnt) AS gcnt FROM hist GROUP BY bucket),
+gt AS (SELECT sum(cnt) AS gtotal FROM hist),
+p AS (SELECT bucket, gcnt / gt.gtotal AS p FROM g, gt),
+grid AS (SELECT t.lang, t.total, p.bucket, p.p FROM tot t CROSS JOIN p),
+j AS (SELECT grid.lang,
+             greatest(coalesce(h.cnt / grid.total, 0.0), 1e-6) AS qc,
+             greatest(grid.p, 1e-6) AS pc
+      FROM grid LEFT JOIN hist h
+           ON h.lang = grid.lang AND h.bucket = grid.bucket)
+SELECT lang, round(sum((qc - pc) * ln(qc / pc)), 4) AS psi
+FROM j GROUP BY lang
+"""
 
 
 def _pq_train_parts(
@@ -2452,7 +2505,12 @@ def drift_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = drift_ks(spark, sf_dir).select(
         F.lit("ks").alias("mode"), "lang", F.col("ks_d").alias("stat")
     )
-    return psi.unionByName(ks)
+    # round 5: the same drift family over the EMBEDDING column (IVF
+    # cells as buckets) — solo tail entry embedding_drift_cells
+    cells = embedding_drift_cells(spark, sf_dir).select(
+        F.lit("cell_psi").alias("mode"), "lang", F.col("psi").alias("stat")
+    )
+    return psi.unionByName(ks).unionByName(cells)
 
 
 def token_count_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2623,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_knn_join_topk": pq_knn_join_topk,
         "minhash_dedup_incremental": minhash_dedup_incremental,
         "token_dedup_incremental": token_dedup_incremental,
+        "embedding_drift_cells": embedding_drift_cells,
     }
 
 
@@ -3596,6 +3655,7 @@ FROM reach GROUP BY a
     # the incremental state must accumulate the SAME pair set the batch
     # pipeline (and its O(n²) exact oracle) produces
     d["minhash_dedup_incremental"] = d["minhash_dedup_verified"]
+    d["embedding_drift_cells"] = _embedding_drift_oracle()
     d["token_dedup_incremental"] = d["token_ngram_dedup_clean"]
     d["packing_pipelines"] = (
         "SELECT 'chars' AS mode, lang AS grp, CAST(doc_id AS VARCHAR) AS k, "
@@ -3630,7 +3690,11 @@ FROM reach GROUP BY a
     d["drift_tests"] = (
         f"SELECT 'psi' AS mode, lang, psi AS stat FROM ({d['histogram_psi']}) "
         "UNION ALL "
-        f"SELECT 'ks' AS mode, lang, ks_d AS stat FROM ({d['drift_ks']})"
+        f"SELECT 'ks' AS mode, lang, ks_d AS stat FROM ({d['drift_ks']}) "
+        "UNION ALL "
+        "SELECT 'cell_psi' AS mode, lang, psi AS stat FROM ("
+        + d["embedding_drift_cells"]
+        + ")"
     )
     d["token_count_modes"] = (
         "SELECT 'ws' AS mode, doc_id, m.metric, m.value FROM ("

@@ -69,7 +69,18 @@ def psi_vs_global(
     # grand total (Σcnt ≡ count(*)) — a naive df.count() would be a second
     # full scan.
     hist = track(histogram(df, col, group_col, lo, hi, buckets).cache())
-    gtotal = float(hist.agg(F.sum("cnt")).first()[0])
+    return psi_from_hist(hist, digits)
+
+
+def psi_from_hist(hist: DataFrame, digits: int = 4) -> DataFrame:
+    """(grp, psi) from a prebuilt (grp, bucket, cnt) histogram — the
+    PSI-vs-global tail shared by the value-bucket form (psi_vs_global)
+    and bucketings that are not value ranges (embedding IVF cells).
+    Keeps the one grid + EPS-clamp convention: the comparison runs over
+    the full grp × occupied-bucket grid so a group MISSING a bucket
+    still contributes its (EPS − p) term (see psi_vs_global)."""
+    gtotal_row = hist.agg(F.sum("cnt")).first()[0]
+    gtotal = float(gtotal_row if gtotal_row is not None else 0.0) or 1.0
     totals = hist.groupBy("grp").agg(F.sum("cnt").alias("total"))
     q = hist.join(totals, "grp").select(
         "grp", "bucket", (F.col("cnt") / F.col("total")).alias("q")

@@ -835,6 +835,58 @@ def semantic_dedup_pq(
     )
 
 
+def embedding_cell_drift(
+    df: DataFrame,
+    groups: DataFrame,
+    n_centroids: int = 16,
+    centroids: "np.ndarray | None" = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str = "grp",
+    digits: int = 4,
+) -> DataFrame:
+    """(grp, psi) — distribution drift of each group's EMBEDDINGS against
+    the global corpus, measured in IVF-cell space: the validation-engine
+    drift family (histogram PSI over value buckets) extended to the
+    embedding column, where there is no scalar to bucket — the coarse
+    quantizer's cells ARE the buckets. A group whose vectors concentrate
+    in cells the corpus spreads across (a crawl snapshot gone
+    template-heavy, a source drifting topic) shows a high PSI exactly
+    like a drifting scalar column would.
+
+    Shape: one Arrow argmax assignment pass (frozen `centroids` from a
+    standing index / train_centroids_kmeans at scale — the pinned seed
+    quantizer by default for SQL replay), an id-keyed label join, a
+    (grp, cell) partial-agg histogram, and the shared PSI-vs-global grid
+    tail (sketches.psi_from_hist — same EPS clamp, same full-grid
+    missing-bucket terms as the scalar form). Ineligible vectors and
+    null-labeled/null-id rows are excluded on both engine and oracle."""
+    from ..functions.arrays import ivf_assign_arrow
+    from ..functions.cache import track
+    from ..functions.sketches import psi_from_hist
+
+    if centroids is not None:
+        import numpy as np
+
+        coarse = np.asarray(centroids, dtype=np.float64)
+    else:
+        coarse = _collect_seed_matrix(df, n_centroids, vec_col, id_col)
+    cells = ivf_assign_arrow(df, coarse, vec_col, id_col).filter(
+        F.col("cell").isNotNull() & F.col(id_col).isNotNull()
+    )
+    labeled = cells.join(
+        groups.filter(F.col(group_col).isNotNull()), id_col
+    )
+    hist = track(
+        labeled.groupBy(
+            F.col(group_col).alias("grp"), F.col("cell").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    return psi_from_hist(hist, digits)
+
+
 def ivf_topk_kmeans(
     df: DataFrame,
     query: list[float],

@@ -2773,3 +2773,36 @@ def test_append_minhash_dedup_equals_full_rebuild(spark, tmp_path):
     assert sorted(
         map(tuple, spark.read.parquet(f"{path}/pairs").collect())
     ) == want
+
+
+def test_embedding_cell_drift_flags_concentrated_group(spark):
+    """PSI in IVF-cell space: a group whose vectors all collapse onto
+    one planted direction must score far above a group that mirrors the
+    corpus mix; ineligible vectors and null labels never count."""
+    import random
+
+    from fs_schema_validator_spark.operators import similarity
+
+    rng = random.Random(88)
+    centers = [_vec(6600 + c) for c in range(4)]
+    rows, labels = [], []
+    for i in range(80):
+        c = i % 4
+        rows.append((i, [v + rng.uniform(-0.05, 0.05) for v in centers[c]]))
+        labels.append((i, "balanced"))
+    for i in range(100, 140):
+        rows.append((i, [v + rng.uniform(-0.05, 0.05) for v in centers[0]]))
+        labels.append((i, "drifted"))
+    rows += [(900, None), (901, [0.0] * 64), (902, [1.0] * 64)]
+    labels += [(900, "drifted"), (901, "drifted"), (902, None)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    grp = spark.createDataFrame(labels, "vec_id bigint, grp string")
+    out = {
+        r.grp: r.psi
+        for r in similarity.embedding_cell_drift(
+            emb, grp, n_centroids=8
+        ).collect()
+    }
+    assert set(out) == {"balanced", "drifted"}
+    assert out["drifted"] > out["balanced"] + 0.5
+    assert out["balanced"] >= 0.0
