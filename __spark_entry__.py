@@ -868,7 +868,12 @@ def minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     old = docs.filter(F.col("doc_id") % 3 != 0)
     delta = docs.filter(F.col("doc_id") % 3 == 0)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # per-process tag: unlike the read-only pq index cache, this state
+    # is REWRITTEN every call — two concurrent runs on one host must
+    # not overwrite each other's dirs mid-query
+    import os
+
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:12]
     path = f"{tempfile.gettempdir()}/fsv_mh_state_{tag}"
     dedup.write_minhash_dedup_state(old, path, max_bucket=None)
     dedup.append_minhash_dedup(delta, old, path, max_bucket=None)
@@ -1795,6 +1800,25 @@ SELECT qid, vec_id, cos FROM (
 """
 
 
+def _dir_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet file/dir (names + sizes +
+    mtimes) — cache keys built from a PATH alone would silently reuse
+    artifacts across a regenerated fixture at the same location."""
+    import os
+
+    parts = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{int(st.st_mtime)}")
+    import hashlib
+
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def pq_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN join against the STANDING IVF-PQ index
     (similarity.write_pq_index → similarity.pq_knn_join): every 100th
@@ -1818,7 +1842,11 @@ def pq_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index (and cuts this gate's dominant cost from the bench). The
     # build-tag must be bumped whenever the index build's semantics
     # change, or a stale cache would silently gate old behavior.
-    key = f"{sf_dir}|{_ANN_N_CENT}|{_PQ_M}|{_PQ_KS}|{_ANN_PINNED_ITERS}|r5a"
+    fp = _dir_fingerprint(f"{sf_dir}/embeddings.parquet")
+    key = (
+        f"{sf_dir}|{fp}|{_ANN_N_CENT}|{_PQ_M}|{_PQ_KS}|"
+        f"{_ANN_PINNED_ITERS}|r5a"
+    )
     tag = hashlib.md5(key.encode()).hexdigest()[:12]
     path = f"{tempfile.gettempdir()}/fsv_pq_knn_{tag}"
     # the model sidecar is written LAST by write_pq_index, so its
@@ -2296,12 +2324,17 @@ def token_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _ngram_corpus(spark)
     ordinal = F.regexp_extract("doc_id", r"-(\d+)$", 1)
+    # try_cast, not cast: '' (non-matching extract) must yield NULL, not
+    # depend on boolean short-circuit order under ANSI (the
+    # sources/synth.py convention for possibly-nonmatching extracts)
     is_delta = (
-        (ordinal != "") & (ordinal.cast("long") % 3 == 0)
+        ordinal.try_cast("long") % 3 == 0
     ) | F.col("doc_id").startswith("deg-")
     old = corpus.filter(~is_delta)
     delta = corpus.filter(is_delta)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    import os
+
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:12]
     path = f"{tempfile.gettempdir()}/fsv_tok_state_{tag}"
     dedup.write_token_dedup_state(old, path, k=_NGRAM_K)
     base = dedup.token_ngram_dedup(old, k=_NGRAM_K)

@@ -1112,8 +1112,13 @@ def write_minhash_dedup_state(
     sigs = minhash_signatures_portable(df, text_col, k, num_perm)
     banded = banded_rows(sigs, bands, rows_per_band, bucket)
     banded.write.mode("overwrite").parquet(f"{path}/bands")
+    # pair expansion reads the banding back from the parquet just
+    # written — the corpus-wide signature lineage runs ONCE (feeding
+    # `banded` into bucket_pairs directly would re-execute the whole
+    # shingle+minhash pass for the candidate stage)
     cand = bucket_pairs(
-        banded, ["band", "bucket"], "doc_id", "doc_a", "doc_b", max_bucket
+        spark.read.parquet(f"{path}/bands"),
+        ["band", "bucket"], "doc_id", "doc_a", "doc_b", max_bucket,
     )
     verify_candidate_pairs(df, cand, text_col, k, threshold).write.mode(
         "overwrite"
@@ -1154,9 +1159,12 @@ def append_minhash_dedup(
     at linear cost. With max_bucket=None append-then-state ≡
     from-scratch rebuild exactly (asserted in tests); capped, the two
     coincide whenever buckets stay under the cap (the oracle-scale
-    regime). Retries are idempotent via the docs membership anti-join.
-    State writes are NOT atomic — wrap in your table format's
-    transaction for concurrent ingest."""
+    regime). Retries of a COMPLETED append are idempotent via the docs
+    membership anti-join (docs is written last, so a crash mid
+    write-back leaves band/pair rows a retry would re-append — the
+    three state writes are NOT atomic; run appends under your table
+    format's transaction, or restore the state dirs before retrying a
+    partial failure)."""
     spark = df_new.sparkSession
     meta = spark.read.parquet(f"{path}/meta").first()
     k, num_perm = int(meta["k"]), int(meta["num_perm"])
@@ -1185,16 +1193,14 @@ def append_minhash_dedup(
     grouped_old = hit_old.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("doc_id")).alias("_olds")
     )
+    # capped: a new doc pairs with the first max_bucket id-ordered
+    # existing members; the slice already CONTAINS the bucket minimum
+    # (element 1), so tail members beyond the cap stay reachable
+    # transitively through the write-time star edges (keeper, member)
     olds = (
         F.col("_olds")
         if max_bucket is None
-        else F.concat(
-            F.slice(F.col("_olds"), 1, max_bucket),
-            F.when(
-                F.size("_olds") > max_bucket,
-                F.array(F.element_at(F.col("_olds"), 1)),
-            ).otherwise(F.array()),
-        )
+        else F.slice(F.col("_olds"), 1, max_bucket)
     )
     cross = (
         banded_new.join(grouped_old, ["band", "bucket"])
